@@ -1,0 +1,136 @@
+"""Block-based residual/Jacobian assembly: gather -> vmapped element kernel
+-> scatter-add.
+
+This replaces the reference stack's FFC-generated C++ element kernels +
+DOLFIN assembly loops + PETSc matrices (SURVEY.md §2.2): here the "assembled
+Jacobian" is the batched tensor of element matrices (Nc, 64, 64) produced by
+jax.jacfwd of the element residual — matrix-free matvecs are batched small
+matmuls (MXU-friendly), and Jacobian reuse (the reference's recompute /
+recompute_tstep knobs, reference: src/vasp/simulations/offset_stenosis.py:47-48)
+is caching this tensor.
+"""
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def cell_geometry(coords, cells):
+    """Affine map data per cell: (Jinv (Nc,3,3), detJ (Nc,), vol (Nc,)).
+
+    x(xi) = x0 + A xi with A[:,j] = x_{j+1} - x_0; physical gradients are
+    dN_ref @ Jinv with Jinv = A^{-1}."""
+    xe = coords[cells]  # (Nc,4,3)
+    A = np.stack([xe[:, 1] - xe[:, 0], xe[:, 2] - xe[:, 0], xe[:, 3] - xe[:, 0]],
+                 axis=2)  # (Nc,3,3), columns are edge vectors
+    detA = np.linalg.det(A)
+    Jinv = np.linalg.inv(A)
+    detJ = np.abs(detA)
+    return Jinv, detJ, detJ / 6.0
+
+
+@dataclass
+class CellBlock:
+    """A group of cells sharing one element kernel (one subdomain/material)."""
+
+    name: str
+    kernel: Callable  # (u(64,), u0(64,), Jinv(3,3), detJ(), vol()) -> (64,)
+    dofs: jnp.ndarray  # (K,64) global indices into U
+    Jinv: jnp.ndarray  # (K,3,3)
+    detJ: jnp.ndarray  # (K,)
+    vol: jnp.ndarray  # (K,)
+
+    def gather(self, U):
+        return U[self.dofs]
+
+    def residual_local(self, U, U0):
+        return jax.vmap(self.kernel)(U[self.dofs], U0[self.dofs], self.Jinv,
+                                     self.detJ, self.vol)
+
+    def jacobian_local(self, U, U0):
+        jac = jax.jacfwd(self.kernel, argnums=0)
+        return jax.vmap(jac)(U[self.dofs], U0[self.dofs], self.Jinv,
+                             self.detJ, self.vol)
+
+
+@dataclass
+class FacetBlock:
+    """A group of boundary triangles sharing one facet kernel (e.g. Robin)."""
+
+    name: str
+    kernel: Callable  # (u(nloc,), area2()) -> (nloc,)
+    dofs: jnp.ndarray  # (K,nloc)
+    area2: jnp.ndarray  # (K,)
+
+    def residual_local(self, U, U0):
+        return jax.vmap(self.kernel, in_axes=(0, 0))(U[self.dofs], self.area2)
+
+    def jacobian_local(self, U, U0):
+        jac = jax.jacfwd(self.kernel, argnums=0)
+        return jax.vmap(jac, in_axes=(0, 0))(U[self.dofs], self.area2)
+
+
+class Assembler:
+    """Residual / element-Jacobian / matvec over a list of blocks."""
+
+    def __init__(self, ndof: int, blocks):
+        self.ndof = ndof
+        self.blocks = list(blocks)
+
+    def residual(self, U, U0):
+        R = jnp.zeros(self.ndof, dtype=U.dtype)
+        for b in self.blocks:
+            r = b.residual_local(U, U0)
+            R = R.at[b.dofs.reshape(-1)].add(r.reshape(-1))
+        return R
+
+    def element_jacobians(self, U, U0):
+        return [b.jacobian_local(U, U0) for b in self.blocks]
+
+    def matvec(self, jacs, x):
+        """y = J x using cached element Jacobians (batched matmuls)."""
+        y = jnp.zeros(self.ndof, dtype=x.dtype)
+        for b, A in zip(self.blocks, jacs):
+            xe = x[b.dofs]  # (K,nloc)
+            ye = jnp.einsum("kab,kb->ka", A, xe)
+            y = y.at[b.dofs.reshape(-1)].add(ye.reshape(-1))
+        return y
+
+    def diagonal(self, jacs):
+        diag = jnp.zeros(self.ndof)
+        for b, A in zip(self.blocks, jacs):
+            d = jnp.diagonal(A, axis1=1, axis2=2)
+            diag = diag.at[b.dofs.reshape(-1)].add(d.reshape(-1))
+        return diag
+
+    # ---------------- host-side sparse export (direct solver path) ----------
+    def to_csr(self, jacs, bc_mask: Optional[np.ndarray] = None):
+        """Assemble a scipy CSR matrix from element Jacobians.
+
+        bc_mask: boolean (ndof,) — constrained rows are replaced by identity
+        (and their columns zeroed), the standard strong Dirichlet treatment."""
+        import scipy.sparse as sp
+
+        rows, cols, vals = [], [], []
+        for b, A in zip(self.blocks, jacs):
+            dofs = np.asarray(b.dofs)
+            K, nloc = dofs.shape
+            r = np.repeat(dofs, nloc, axis=1).reshape(-1)
+            c = np.tile(dofs, (1, nloc)).reshape(-1)
+            rows.append(r)
+            cols.append(c)
+            vals.append(np.asarray(A).reshape(-1))
+        rows = np.concatenate(rows)
+        cols = np.concatenate(cols)
+        vals = np.concatenate(vals)
+        if bc_mask is not None:
+            keep = ~(bc_mask[rows] | bc_mask[cols])
+            rows, cols, vals = rows[keep], cols[keep], vals[keep]
+            bc_dofs = np.nonzero(bc_mask)[0]
+            rows = np.concatenate([rows, bc_dofs])
+            cols = np.concatenate([cols, bc_dofs])
+            vals = np.concatenate([vals, np.ones(len(bc_dofs))])
+        M = sp.coo_matrix((vals, (rows, cols)), shape=(self.ndof, self.ndof))
+        return M.tocsr()

@@ -1,0 +1,196 @@
+"""Damped Newton solver with Jacobian reuse and pluggable linear solvers.
+
+Replaces the reference's turtleFSI "newtonsolver" + MUMPS
+(reference: src/vasp/simulations/offset_stenosis.py:44-48 and SURVEY.md §2.3):
+
+- theta-scheme residual assembled by vasp_tpu.fem.assembly,
+- Newton with constant damping ``lmbda``
+  (reference: src/vasp/simulations/predeform.py:48),
+- Jacobian reuse knobs ``recompute`` (iterations) / ``recompute_tstep``
+  (timesteps),
+- linear solvers:
+    "lu"     — host sparse LU (scipy splu) of the monolithic Jacobian; the
+               factorization is cached as long as the Jacobian is reused
+               (this is the MUMPS-equivalent correctness path),
+    "gmres"  — device-side matrix-free GMRES on the batched element
+               Jacobians with an element-block additive-Schwarz
+               preconditioner (the TPU production path).
+
+Stdout follows the reference solver's de-facto log API consumed by
+vasp-log-plotter and the regression tests
+(reference: src/vasp/postprocessing/log_plotter.py:73-77 regexes):
+  "Newton iteration {i}: r (atol) = {...} (tol = {...}), r (rel) = {...} (tol = {...})"
+"""
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class NewtonOptions:
+    atol: float = 1e-7
+    rtol: float = 1e-7
+    max_it: int = 50
+    lmbda: float = 1.0
+    recompute: int = 5
+    recompute_tstep: int = 1
+    linear_solver: str = "lu"  # "lu" | "gmres"
+    gmres_tol: float = 1e-4
+    gmres_restart: int = 50
+    gmres_maxiter: int = 400
+    verbose: bool = True
+
+
+@dataclass
+class NewtonState:
+    jacs: Optional[list] = None
+    lu = None
+    pinv: Optional[list] = None  # Schwarz block inverses
+    multiplicity: Optional[jnp.ndarray] = None
+    last_rebuild_tstep: int = -(10 ** 9)
+    iters_since_rebuild: int = 0
+
+
+class NewtonSolver:
+    def __init__(self, assembler, bc_set, options: NewtonOptions):
+        self.asm = assembler
+        self.bc = bc_set
+        self.opt = options
+        self.state = NewtonState()
+        self._bc_mask_dev = jnp.asarray(bc_set.mask)
+
+        @jax.jit
+        def _residual(U, U0, load):
+            R = self.asm.residual(U, U0) + load
+            return jnp.where(self._bc_mask_dev, 0.0, R)
+
+        self._residual = _residual
+
+        @jax.jit
+        def _matvec(jacs, x):
+            y = self.asm.matvec(jacs, x)
+            return jnp.where(self._bc_mask_dev, x, y)
+
+        self._matvec = _matvec
+        self._jacfn = jax.jit(self.asm.element_jacobians)
+
+    # ---------------- Jacobian management ----------------
+    def _rebuild(self, U, U0, tstep):
+        self.state.jacs = self._jacfn(U, U0)
+        self.state.last_rebuild_tstep = tstep
+        self.state.iters_since_rebuild = 0
+        if self.opt.linear_solver == "lu":
+            import scipy.sparse.linalg as spla
+
+            A = self.asm.to_csr(self.state.jacs, bc_mask=self.bc.mask)
+            self.state.lu = spla.splu(A.tocsc())
+        else:
+            self._build_schwarz()
+
+    def _build_schwarz(self):
+        """Element-block additive Schwarz: invert each element Jacobian with
+        BC rows replaced by identity and a small pressure regularization, and
+        precompute dof multiplicities for weighting."""
+        eps = 1e-12
+        pinv = []
+        mult = jnp.zeros(self.asm.ndof)
+        mask = self._bc_mask_dev
+        for b, A in zip(self.asm.blocks, self.state.jacs):
+            nloc = A.shape[-1]
+            bcm = mask[b.dofs]  # (K,nloc)
+            eye = jnp.eye(nloc)
+            Amod = jnp.where(bcm[:, :, None], eye[None], A)
+            Amod = jnp.where(bcm[:, None, :] & ~bcm[:, :, None], 0.0, Amod)
+            # regularize (pressure zero-diagonal saddle blocks)
+            diag_scale = jnp.maximum(
+                jnp.abs(jnp.diagonal(Amod, axis1=1, axis2=2)), 1.0
+            )
+            Amod = Amod + eps * jax.vmap(jnp.diag)(diag_scale)
+            pinv.append(jnp.linalg.inv(Amod))
+            mult = mult.at[b.dofs.reshape(-1)].add(1.0)
+        self.state.pinv = pinv
+        self.state.multiplicity = jnp.maximum(mult, 1.0)
+
+    def _precond(self, r):
+        y = jnp.zeros_like(r)
+        for b, Ai in zip(self.asm.blocks, self.state.pinv):
+            re = r[b.dofs]
+            ye = jnp.einsum("kab,kb->ka", Ai, re)
+            y = y.at[b.dofs.reshape(-1)].add(ye.reshape(-1))
+        return y / self.state.multiplicity
+
+    # ---------------- linear solve ----------------
+    def _linear_solve(self, R):
+        if self.opt.linear_solver == "lu":
+            return jnp.asarray(self.state.lu.solve(np.asarray(R)))
+        jacs = self.state.jacs
+
+        def mv(x):
+            return self._matvec(jacs, x)
+
+        dx, _ = jax.scipy.sparse.linalg.gmres(
+            mv,
+            R,
+            tol=self.opt.gmres_tol,
+            atol=0.0,
+            restart=self.opt.gmres_restart,
+            maxiter=self.opt.gmres_maxiter,
+            M=self._precond,
+            solve_method="incremental",
+        )
+        return dx
+
+    # ---------------- Newton loop ----------------
+    def solve(self, U, U0, t, tstep, load=None):
+        """One nonlinear solve. U: initial guess (typically previous step with
+        BCs applied); U0: previous timestep solution. Returns (U, info)."""
+        opt = self.opt
+        if load is None:
+            load = jnp.zeros(self.asm.ndof)
+        U = self.bc.apply(U, t)
+
+        first_res = None
+        it = 0
+        converged = False
+        while it < opt.max_it:
+            need_rebuild = (
+                self.state.jacs is None
+                or (it > 0 and self.state.iters_since_rebuild >= opt.recompute)
+                or (
+                    it == 0
+                    and (tstep - self.state.last_rebuild_tstep)
+                    >= opt.recompute_tstep
+                )
+            )
+            if need_rebuild:
+                self._rebuild(U, U0, tstep)
+
+            R = self._residual(U, U0, load)
+            res = float(jnp.linalg.norm(R))
+            if first_res is None:
+                first_res = res if res > 0 else 1.0
+            rel = res / first_res
+            if opt.verbose:
+                print(
+                    f"Newton iteration {it}: r (atol) = {res:.3e} "
+                    f"(tol = {opt.atol:.3e}), r (rel) = {rel:.3e} "
+                    f"(tol = {opt.rtol:.3e})"
+                )
+            if res < opt.atol or rel < opt.rtol:
+                converged = True
+                break
+
+            dx = self._linear_solve(R)
+            U = U - opt.lmbda * dx
+            self.state.iters_since_rebuild += 1
+            it += 1
+
+        if not converged and it >= opt.max_it:
+            raise RuntimeError(
+                f"Newton solver did not converge in {opt.max_it} iterations "
+                f"(residual {res:.3e})"
+            )
+        return U, dict(iterations=it, residual=res, rel=rel)
