@@ -50,6 +50,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vasp_tpu.fem.kinematics import S_, I3
+from vasp_tpu.fem.smallmat import det3, inv3
 from vasp_tpu.fem.quadrature import tet_quadrature, tri_quadrature
 from vasp_tpu.fem.shape import p1_tet, p2_tet, p2_tri
 
@@ -114,10 +115,10 @@ def make_fluid_kernel(
 
         F = I3 + gd
         F0 = I3 + gd0
-        Jd = jnp.linalg.det(F)
-        J0 = jnp.linalg.det(F0)
-        Fi = jnp.linalg.inv(F)
-        Fi0 = jnp.linalg.inv(F0)
+        Jd = det3(F)
+        J0 = det3(F0)
+        Fi = inv3(F, Jd)
+        Fi0 = inv3(F0, J0)
 
         # ---- momentum ----
         # mass

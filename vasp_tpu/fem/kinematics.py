@@ -23,7 +23,8 @@ def F_(grad_d):
 
 def J_(grad_d):
     """Jacobian determinant J = det F."""
-    return jnp.linalg.det(F_(grad_d))
+    from vasp_tpu.fem.smallmat import det3
+    return det3(F_(grad_d))
 
 
 def E_(grad_d):
@@ -41,7 +42,8 @@ def E_(grad_d):
 def _invariants(C):
     I1 = jnp.trace(C)
     I2 = 0.5 * (I1 ** 2 - jnp.trace(C @ C))
-    J = jnp.sqrt(jnp.linalg.det(C))
+    from vasp_tpu.fem.smallmat import det3
+    J = jnp.sqrt(det3(C))
     return I1, I2, J
 
 
@@ -113,7 +115,8 @@ def get_eig(T):
     p2 = jnp.sum(B * B) / 2.0  # = tr(B^2)/2 for symmetric B... use full sum
     p = jnp.sqrt(jnp.maximum(p2 / 3.0, 1e-300))
     # r = det(B/p)/2 in [-1,1]
-    r = jnp.linalg.det(B) / jnp.maximum(2.0 * p ** 3, 1e-300)
+    from vasp_tpu.fem.smallmat import det3
+    r = det3(B) / jnp.maximum(2.0 * p ** 3, 1e-300)
     r = jnp.clip(r, -1.0, 1.0)
     phi = jnp.arccos(r) / 3.0
     eig_max = q + 2.0 * p * jnp.cos(phi)

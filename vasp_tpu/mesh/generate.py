@@ -61,11 +61,18 @@ def fsi_tube_mesh(
     n_r_fluid: int = 3,
     n_r_solid: int = 2,
     n_z: int = 12,
+    radius_profile=None,
+    center_offset=None,
 ) -> TetMesh:
     """Cylindrical FSI tube: fluid core (r <= r_inner) + solid wall annulus.
 
     Defaults approximate the reference's tiny cylinder test case scale
-    (reference: tests/test_data/cylinder/cylinder.h5, ~1.6k cells)."""
+    (reference: tests/test_data/cylinder/cylinder.h5, ~1.6k cells).
+
+    radius_profile: optional callable z -> scale factor applied to the whole
+    cross-section (stenosis narrowing); center_offset: optional callable
+    z -> (ox, oy) lateral shift of the cross-section (eccentric/offset
+    stenoses, cf. the reference's offset_stenosis case)."""
     radii_f = r_inner * np.arange(1, n_r_fluid + 1) / n_r_fluid
     dr_s = (r_outer - r_inner) / n_r_solid
     radii_s = r_inner + dr_s * np.arange(1, n_r_solid + 1)
@@ -74,12 +81,19 @@ def fsi_tube_mesh(
     tris = _disk_triangles(n_theta, len(radii))
     n2d = len(pts2d)
 
-    # 3D points: layers along z
+    # 3D points: layers along z (optionally scaled/shifted per layer)
     zs = length * np.arange(n_z + 1) / n_z
-    coords = np.concatenate(
-        [np.concatenate([pts2d, np.full((n2d, 1), z)], axis=1) for z in zs],
-        axis=0,
-    )
+    layers = []
+    for z in zs:
+        xy = pts2d.copy()
+        if radius_profile is not None:
+            xy = xy * float(radius_profile(z))
+        if center_offset is not None:
+            ox, oy = center_offset(z)
+            xy = xy + np.array([ox, oy])[None, :]
+        layers.append(np.concatenate([xy, np.full((n2d, 1), z)], axis=1))
+    coords = np.concatenate(layers, axis=0)
+    warped = radius_profile is not None or center_offset is not None
 
     # prisms -> tets (staircase split on ascending-id triangles)
     cells = []
@@ -94,15 +108,21 @@ def fsi_tube_mesh(
         cells.append(np.stack([c, A, B, C], axis=1))
     cells = np.concatenate(cells, axis=0)
 
+    # classification happens in the UNWARPED frame (straight tube)
+    ref_coords = np.concatenate(
+        [np.concatenate([pts2d, np.full((n2d, 1), z)], axis=1) for z in zs],
+        axis=0,
+    ) if warped else coords
+
     # cell markers by centroid radius
-    cent = coords[cells].mean(axis=1)
+    cent = ref_coords[cells].mean(axis=1)
     rad = np.hypot(cent[:, 0], cent[:, 1])
     cell_markers = np.where(rad < r_inner, 1, 2).astype(np.int64)
 
     # facets from the full facet table
-    mesh0 = TetMesh(coords, cells, cell_markers)
+    mesh0 = TetMesh(ref_coords, cells, cell_markers)
     fv, c0, l0, c1, l1 = mesh0._facet_tables
-    fc = coords[fv].mean(axis=1)  # facet centroids
+    fc = ref_coords[fv].mean(axis=1)  # facet centroids
     fr = np.hypot(fc[:, 0], fc[:, 1])
     fz = fc[:, 2]
     tol = 1e-12 + 1e-6 * length
@@ -117,7 +137,7 @@ def fsi_tube_mesh(
     on_z0 = np.abs(fz - 0.0) < tol
     on_zL = np.abs(fz - length) < tol
     # all three facet vertices on the interface cylinder?
-    vr = np.hypot(coords[fv][:, :, 0], coords[fv][:, :, 1])
+    vr = np.hypot(ref_coords[fv][:, :, 0], ref_coords[fv][:, :, 1])
     on_iface = np.all(np.abs(vr - r_inner) < 1e-9 + 1e-6 * r_inner, axis=1)
     on_outer = np.all(np.abs(vr - r_outer) < 1e-9 + 1e-6 * r_outer, axis=1)
 
