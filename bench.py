@@ -1,0 +1,116 @@
+"""Benchmark: wall-clock per FSI timestep vs the reference's anchor.
+
+Reference anchor: 7.4 s per timestep on the offset-stenosis tutorial
+(20,829 cells, dt=1e-3) with FEniCS/turtleFSI + MUMPS
+(reference: docs/offset_stenosis.md:197; see BASELINE.md).
+
+This benchmark builds an FSI tube at the same cell count, runs the fully
+jitted timestep (Newton + matrix-free GMRES + element-block Schwarz) on the
+available accelerator, and reports seconds/timestep. ``vs_baseline`` is the
+speedup factor over the 7.4 s anchor (>1 = faster than reference).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_SEC_PER_STEP = 7.4
+TARGET_CELLS = 20829
+
+
+def build(n_theta, n_z, quad_degree):
+    import jax.numpy as jnp
+
+    from vasp_tpu.fem.dirichlet import DirichletBC
+    from vasp_tpu.mesh.generate import fsi_tube_mesh
+    from vasp_tpu.run.system import FSISystem
+
+    mesh = fsi_tube_mesh(
+        r_inner=0.002, r_outer=0.0026, length=0.04,
+        n_theta=n_theta, n_r_fluid=3, n_r_solid=1, n_z=n_z,
+        radius_profile=lambda z: 1.0 - 0.35 * np.exp(-((z - 0.012) / 0.004) ** 2),
+    )
+    E, nu = 1e6, 0.45
+    mu_s = E / (2 * (1 + nu))
+    lam_s = nu * 2 * mu_s / (1 - 2 * nu)
+    cfg = dict(
+        dt=0.001, theta=0.501,
+        rho_f=1.0e3, mu_f=1.5e-3, dx_f_id=1,
+        rho_s=1e3, mu_s=mu_s, lambda_s=lam_s, dx_s_id=2,
+        material_model="StVenantKirchoff",
+        extrapolation="laplace", extrapolation_sub_type="constant",
+        quadrature_degree=quad_degree,
+    )
+    system = FSISystem(mesh, cfg)
+    space = system.space
+    bcs = []
+    for marker in (2, 3, 11):
+        p2d = space.p2_dofs_on_facets(marker)
+        bcs.append(DirichletBC(space.field_dofs("d", p2d), 0.0))
+    for marker in (2, 11):
+        p2d = space.p2_dofs_on_facets(marker)
+        bcs.append(DirichletBC(space.field_dofs("v", p2d), 0.0))
+    bc_set = system.make_bcset(bcs)
+    load = 800.0 * system.interface_pressure_load()
+    return mesh, system, bc_set, jnp.asarray(load)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vasp_tpu.fem.timestepper import StepOptions, make_step_fn
+
+    # 20,832 cells — matches the reference tutorial's 20,829-cell mesh
+    n_theta, n_z = 16, 62
+    mesh, system, bc_set, load = build(n_theta, n_z, quad_degree=4)
+    ncells = mesh.num_cells
+    ndof = system.space.ndof
+
+    opts = StepOptions(
+        atol=1e-6, rtol=1e-6, max_it=4,
+        gmres_tol=1e-4, gmres_restart=30, gmres_maxiter=120,
+        jac_chunk=4096,
+    )
+    step = jax.jit(make_step_fn(system.assembler, bc_set.mask, opts))
+    U = system.zero_state()
+    bcv = jnp.asarray(bc_set.values_at(0.001))
+
+    # warmup/compile
+    t0 = time.time()
+    U1, stats = step(U, bcv, load)
+    U1.block_until_ready()
+    compile_s = time.time() - t0
+
+    n_steps = int(os.environ.get("BENCH_STEPS", "5"))
+    t0 = time.time()
+    Uc = U1
+    for _ in range(n_steps):
+        Uc, stats = step(Uc, bcv, load)
+    Uc.block_until_ready()
+    sec_per_step = (time.time() - t0) / n_steps
+
+    ok = bool(jnp.all(jnp.isfinite(Uc)))
+    result = {
+        "metric": "sec_per_timestep_fsi20k",
+        "value": round(sec_per_step, 4),
+        "unit": "s/timestep",
+        "vs_baseline": round(REFERENCE_SEC_PER_STEP / sec_per_step, 2),
+    }
+    print(json.dumps(result))
+    if not ok:
+        print("WARNING: non-finite state after benchmark", file=sys.stderr)
+    print(
+        f"# cells={ncells} ndof={ndof} device={jax.devices()[0].platform} "
+        f"compile={compile_s:.1f}s newton_iters={int(stats['iterations'])} "
+        f"residual={float(stats['residual']):.2e}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -13,31 +13,8 @@ import pytest
 
 from vasp_tpu.run.driver import run_simulation
 
-
-@pytest.fixture(scope="module")
-def cylinder_run(tmp_path_factory):
-    folder = tmp_path_factory.mktemp("cylinder_results")
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        ns = run_simulation(
-            "cylinder",
-            overrides=dict(
-                T=0.003,
-                dt=0.001,
-                folder=str(folder),
-                mesh_path=None,
-                quadrature_degree=3,
-                save_deg=2,
-                save_step=1,
-                checkpoint_step=2,
-                atol=1e-7,
-                rtol=1e-7,
-                recompute=5,
-                recompute_tstep=1,
-                verbose=True,
-            ),
-        )
-    return ns, buf.getvalue(), folder
+# cylinder_run fixture is session-scoped in conftest.py (shared with the
+# postprocessing pipeline tests)
 
 
 def test_log_contract(cylinder_run):

@@ -1,0 +1,129 @@
+"""Pipeline-chaining tests: refine -> separate -> create_hdf5 -> separate viz
+-> predeform, all on one shared cylinder run — the reference's pipeline test
+pattern (reference: tests/test_create_hdf5_and_separate_viz.py:14-67,
+tests/test_postprocess_mesh.py, tests/test_predeform.py)."""
+import h5py
+import numpy as np
+import pytest
+
+from vasp_tpu.mesh.io import read_vasp_mesh
+from vasp_tpu.postprocessing.common import (
+    get_domain_ids,
+    output_file_lists,
+    read_parameters_from_file,
+)
+from vasp_tpu.postprocessing.fields.create_hdf5 import (
+    create_hdf5,
+    create_separate_domain_visualization,
+)
+from vasp_tpu.postprocessing.mesh_stages import (
+    create_refined_mesh,
+    predeform_mesh,
+    separate_mesh,
+)
+
+
+@pytest.fixture(scope="session")
+def postproc_chain(cylinder_run):
+    ns, log, folder = cylinder_run
+    create_refined_mesh(folder)
+    separate_mesh(folder)
+    create_hdf5(folder)
+    create_separate_domain_visualization(folder)
+    return ns, folder
+
+
+def test_refined_mesh_invariants(postproc_chain):
+    """refined cells = 8 x cells (reference: tests/test_postprocess_mesh.py:38-42)."""
+    ns, folder = postproc_chain
+    mesh = ns["mesh"]
+    refined = read_vasp_mesh(folder / "Mesh" / "mesh_refined.h5")
+    assert refined.num_cells == 8 * mesh.num_cells
+    assert refined.num_vertices == mesh.num_vertices + mesh.num_edges
+
+
+def test_separated_meshes(postproc_chain):
+    ns, folder = postproc_chain
+    mesh = ns["mesh"]
+    fluid = read_vasp_mesh(folder / "Mesh" / "mesh_fluid.h5")
+    solid = read_vasp_mesh(folder / "Mesh" / "mesh_solid.h5")
+    assert fluid.num_cells + solid.num_cells == mesh.num_cells
+    assert (folder / "Mesh" / "mesh_fluid_refined.h5").exists()
+    # vertex map restores original coordinates
+    with h5py.File(folder / "Mesh" / "mesh_fluid.h5") as f:
+        vmap = f["map/vertex_ids"][:]
+    assert np.allclose(mesh.coords[vmap], fluid.coords)
+
+
+def test_create_hdf5_values(postproc_chain):
+    """u.h5 contains the fluid slice of each VisualisationVector timestep
+    (value-level, the reference checks exact values at atol 1e-10,
+    reference: tests/test_create_hdf5_and_separate_viz.py:41-51)."""
+    ns, folder = postproc_chain
+    sep = folder / "Visualization_separate_domain"
+    with h5py.File(sep / "u.h5") as f:
+        nT = len(f["time"])
+        assert nT == 3
+        ids = f["ids"][:]
+        u0 = f["velocity/vector_2"][:]
+    viz = folder / "Visualization"
+    h5s, times, idxs = output_file_lists(viz / "velocity.xdmf")
+    with h5py.File(viz / h5s[2]) as f:
+        full = f[f"VisualisationVector/{idxs[2]}"][:]
+    assert np.allclose(u0, full[ids], atol=1e-10)
+    assert np.abs(u0).max() > 0
+
+
+def test_separate_domain_viz_outputs(postproc_chain):
+    ns, folder = postproc_chain
+    sep = folder / "Visualization_separate_domain"
+    assert (sep / "velocity_fluid.xdmf").exists()
+    assert (sep / "displacement_solid.xdmf").exists()
+    h5s, times, idxs = output_file_lists(sep / "velocity_fluid.xdmf")
+    assert len(times) == 3
+
+
+def test_predeform_mesh(postproc_chain):
+    """coords_predeformed = coords - last displacement (scale -1,
+    reference: tests/test_predeform.py:14-33 semantics)."""
+    ns, folder = postproc_chain
+    out = predeform_mesh(folder)
+    orig = read_vasp_mesh(folder / "Mesh" / "mesh.h5")
+    pre = read_vasp_mesh(out)
+    viz = folder / "Visualization"
+    h5s, times, idxs = output_file_lists(viz / "displacement.xdmf")
+    with h5py.File(viz / h5s[-1]) as f:
+        disp = f[f"VisualisationVector/{idxs[-1]}"][:]
+    n = orig.num_vertices
+    assert np.allclose(pre.coords, orig.coords - disp[:n], atol=1e-14)
+
+
+def test_hemodynamics_pipeline(postproc_chain):
+    """Full vasp-compute-hemo path on the cylinder run: outputs exist, OSI
+    in bounds, TAWSS finite positive somewhere."""
+    from vasp_tpu.postprocessing.fields.hemodynamics import (
+        compute_hemodynamics,
+    )
+
+    ns, folder = postproc_chain
+    res = compute_hemodynamics(folder)
+    out = folder / "Hemodynamic_indices"
+    for name in ("TAWSS", "TWSSG", "OSI", "RRT", "ECAP", "WSS"):
+        assert (out / f"{name}.xdmf").exists()
+        assert (out / f"{name}.h5").exists()
+    assert np.all(np.isfinite(res["TAWSS"]))
+    assert res["TAWSS"].max() > 0
+    assert res["OSI"].min() >= -1e-12 and res["OSI"].max() <= 0.5 + 1e-12
+
+
+def test_config_roundtrip(postproc_chain):
+    ns, folder = postproc_chain
+    params = read_parameters_from_file(folder)
+    assert params["dt"] == 0.001
+    assert params["save_deg"] == 2
+    fluid_ids, solid_ids, all_ids = get_domain_ids(
+        folder / "Mesh" / "mesh.h5"
+    )
+    assert len(fluid_ids) > 0 and len(solid_ids) > 0
+    # interface nodes belong to both
+    assert len(np.intersect1d(fluid_ids, solid_ids)) > 0

@@ -17,6 +17,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def chunked_vmap(fn, args, chunk=None):
+    """vmap fn over the leading axis, optionally in fixed-size chunks via
+    lax.map to bound peak memory (jacfwd intermediates scale with batch x
+    tangents x quadrature)."""
+    K = args[0].shape[0]
+    if chunk is None or K <= chunk:
+        return jax.vmap(fn)(*args)
+    pad = (-K) % chunk
+    if pad:
+        args = [jnp.concatenate([a, a[:pad]], axis=0) for a in args]
+    nchunks = (K + pad) // chunk
+    reshaped = tuple(a.reshape((nchunks, chunk) + a.shape[1:]) for a in args)
+    out = jax.lax.map(lambda xs: jax.vmap(fn)(*xs), reshaped)
+    out = jax.tree.map(
+        lambda o: o.reshape((nchunks * chunk,) + o.shape[2:])[:K], out
+    )
+    return out
+
+
 def cell_geometry(coords, cells):
     """Affine map data per cell: (Jinv (Nc,3,3), detJ (Nc,), vol (Nc,)).
 
@@ -49,10 +68,12 @@ class CellBlock:
         return jax.vmap(self.kernel)(U[self.dofs], U0[self.dofs], self.Jinv,
                                      self.detJ, self.vol)
 
-    def jacobian_local(self, U, U0):
+    def jacobian_local(self, U, U0, chunk=None):
         jac = jax.jacfwd(self.kernel, argnums=0)
-        return jax.vmap(jac)(U[self.dofs], U0[self.dofs], self.Jinv,
-                             self.detJ, self.vol)
+        return chunked_vmap(
+            jac, [U[self.dofs], U0[self.dofs], self.Jinv, self.detJ,
+                  self.vol], chunk,
+        )
 
 
 @dataclass
@@ -67,9 +88,9 @@ class FacetBlock:
     def residual_local(self, U, U0):
         return jax.vmap(self.kernel, in_axes=(0, 0))(U[self.dofs], self.area2)
 
-    def jacobian_local(self, U, U0):
+    def jacobian_local(self, U, U0, chunk=None):
         jac = jax.jacfwd(self.kernel, argnums=0)
-        return jax.vmap(jac, in_axes=(0, 0))(U[self.dofs], self.area2)
+        return chunked_vmap(jac, [U[self.dofs], self.area2], chunk)
 
 
 class Assembler:
@@ -86,8 +107,8 @@ class Assembler:
             R = R.at[b.dofs.reshape(-1)].add(r.reshape(-1))
         return R
 
-    def element_jacobians(self, U, U0):
-        return [b.jacobian_local(U, U0) for b in self.blocks]
+    def element_jacobians(self, U, U0, chunk=None):
+        return [b.jacobian_local(U, U0, chunk=chunk) for b in self.blocks]
 
     def matvec(self, jacs, x):
         """y = J x using cached element Jacobians (batched matmuls)."""

@@ -1,0 +1,146 @@
+"""Multi-chip SPMD execution: domain-decomposed assembly over a device mesh.
+
+Replaces the reference's MPI domain decomposition (DOLFIN partitions the
+mesh across ranks; PETSc/MUMPS do a distributed solve — SURVEY.md §2.4)
+with the TPU-native pattern:
+
+- cell/facet element blocks are SHARDED along a 1-D 'cells' mesh axis
+  (static partition at setup time — the ParMETIS-at-runtime equivalent moves
+  to preprocessing),
+- the monolithic state vector U is REPLICATED; each device assembles the
+  partial residual / matvec of its own cells and a single ``lax.psum`` over
+  ICI combines them (this takes the place of MPI halo exchange: shared-dof
+  contributions meet in the reduction),
+- the entire Newton timestep runs inside one jitted ``shard_map`` program,
+  so XLA overlaps the per-device batched element math (MXU) with the
+  collective.
+
+For vessel-scale problems (<= a few M DOF) a replicated-vector psum per
+operator application rides ICI far below the element-kernel cost; a
+halo-exchange reduce_scatter variant is the planned optimization for
+larger meshes.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax import shard_map  # jax >= 0.7 public API
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vasp_tpu.fem.assembly import Assembler, CellBlock, FacetBlock
+from vasp_tpu.fem.timestepper import StepOptions, make_step_fn
+
+
+def _pad_to(arr, K_new, pad_value):
+    K = arr.shape[0]
+    if K == K_new:
+        return np.asarray(arr)
+    pad = np.full((K_new - K,) + arr.shape[1:], pad_value, dtype=np.asarray(arr).dtype)
+    return np.concatenate([np.asarray(arr), pad], axis=0)
+
+
+def build_device_mesh(n_devices=None, axis_name="cells"):
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis_name,))
+
+
+def shard_system_blocks(system, n_shards, pad_dof):
+    """Pad every block of system.assembler to a multiple of n_shards.
+
+    Padded elements: dofs -> pad_dof (a dedicated zero slot), detJ/area2 -> 0
+    (zero residual/Jacobian), Jinv -> I, vol -> 1. Returns (skeleton, arrays):
+    skeleton holds the static parts (kernel closures), arrays the shardable
+    data pytree."""
+    skeleton = []
+    arrays = []
+    for b in system.assembler.blocks:
+        K = b.dofs.shape[0]
+        K_new = int(-(-K // n_shards) * n_shards)
+        if isinstance(b, CellBlock):
+            data = dict(
+                dofs=_pad_to(np.asarray(b.dofs), K_new, pad_dof),
+                Jinv=_pad_to(np.asarray(b.Jinv), K_new, 0.0),
+                detJ=_pad_to(np.asarray(b.detJ), K_new, 0.0),
+                vol=_pad_to(np.asarray(b.vol), K_new, 1.0),
+            )
+            # identity Jinv for padded cells (avoid NaNs in kernels)
+            if K_new > K:
+                data["Jinv"][K:] = np.eye(3)
+            skeleton.append(("cell", b.name, b.kernel))
+        else:
+            data = dict(
+                dofs=_pad_to(np.asarray(b.dofs), K_new, pad_dof),
+                area2=_pad_to(np.asarray(b.area2), K_new, 0.0),
+            )
+            skeleton.append(("facet", b.name, b.kernel))
+        arrays.append(data)
+    return skeleton, arrays
+
+
+def _rebuild_assembler(skeleton, arrays, ndof):
+    blocks = []
+    for (kind, name, kernel), data in zip(skeleton, arrays):
+        if kind == "cell":
+            blocks.append(CellBlock(name, kernel, data["dofs"], data["Jinv"],
+                                    data["detJ"], data["vol"]))
+        else:
+            blocks.append(FacetBlock(name, kernel, data["dofs"],
+                                     data["area2"]))
+    return Assembler(ndof, blocks)
+
+
+def make_sharded_step(system, bc_mask, options: StepOptions, mesh=None,
+                      axis_name="cells"):
+    """Build a jitted multi-chip step(U0, bc_values, load) -> (U, stats).
+
+    All vector arguments are the UNPADDED (ndof,) arrays; padding to
+    ndof+1 (the zero slot) happens inside. Block data is sharded along the
+    mesh axis; vectors are replicated."""
+    mesh = mesh or build_device_mesh(axis_name=axis_name)
+    n = mesh.devices.size
+    ndof = system.assembler.ndof
+    ndof_pad = ndof + 1
+    skeleton, arrays = shard_system_blocks(system, n, pad_dof=ndof)
+
+    mask_pad = np.concatenate([np.asarray(bc_mask), [True]])
+    mask_pad = jnp.asarray(mask_pad)
+
+    block_sharding = jax.tree.map(
+        lambda a: jax.device_put(jnp.asarray(a),
+                                 NamedSharding(mesh, P(axis_name))),
+        arrays,
+    )
+
+    red = partial(jax.lax.psum, axis_name=axis_name)
+
+    def inner(U0, bcv, load, blocks_local):
+        asm = _rebuild_assembler(skeleton, blocks_local, ndof_pad)
+        step = make_step_fn(asm, mask_pad, options, reduce_fn=red)
+        U, stats = step(U0, bcv, load)
+        return U, stats
+
+    sharded = shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), jax.tree.map(lambda _: P(axis_name), arrays)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(U0, bc_values, load):
+        z = jnp.zeros(1, U0.dtype)
+        U0p = jnp.concatenate([U0, z])
+        bcp = jnp.concatenate([bc_values, z])
+        loadp = jnp.concatenate([load, z])
+        Up, stats = sharded(U0p, bcp, loadp, block_sharding)
+        return Up[:ndof], stats
+
+    return step, mesh

@@ -1,0 +1,211 @@
+"""Hemodynamic indices: WSS, TAWSS, TWSSG, OSI, RRT, ECAP.
+
+Parity target: vasp-compute-hemo
+(reference: src/vasp/postprocessing/postprocessing_fenics/compute_hemodynamics.py):
+
+- wall shear stress tau = tangential part of the viscous traction
+  t = sigma n, sigma = 2 mu_f sym(grad u) (reference Stress class L120-158),
+- per-timestep tau fields accumulated into
+  TAWSS  = mean_t |tau|                (L326-328)
+  TWSSG  = mean_t |(tau - tau_prev)/dt|
+  WSS_mean = mean_t tau
+  RRT = 1/|WSS_mean|, OSI = 0.5 (1 - |WSS_mean|/TAWSS), ECAP = OSI/TAWSS
+  (L344-346), with the OSI in [0, 0.5] runtime assert (L366-372),
+- outputs Hemodynamic_indices/{RRT,OSI,ECAP,WSS,TAWSS,TWSSG}.xdmf (L251-256).
+
+TPU-native design: the velocity series is evaluated at wall-facet quadrature
+points with exact P2 gradients of the *unrefined* mesh (our save_deg=2
+output numbering IS the P2 dof numbering, so no transfer matrix is needed —
+the reference needs PETScDMCollection to go P1(refined)->P2, L223), and all
+timesteps are batched through one jitted einsum pipeline.
+"""
+from pathlib import Path
+
+import h5py
+import jax.numpy as jnp
+import numpy as np
+
+from vasp_tpu.fem.assembly import cell_geometry
+from vasp_tpu.fem.quadrature import tri_quadrature
+from vasp_tpu.fem.shape import p2_tet, p1_tri
+from vasp_tpu.mesh.io import read_vasp_mesh
+from vasp_tpu.postprocessing.common import (
+    get_domain_ids_refined,
+    get_domain_ids,
+    read_parameters_from_file,
+)
+from vasp_tpu.run.output import VizWriter
+
+
+class FluidBoundaryTables:
+    """Per-facet tabulation for evaluating P2 gradients of the full mesh on
+    the fluid-domain boundary (exterior facets + FSI interface)."""
+
+    def __init__(self, mesh, dx_f_id=1, quad_degree=2):
+        fluid_ids = np.atleast_1d(dx_f_id)
+        is_fluid = np.isin(mesh.cell_markers, fluid_ids)
+        c0, l0, c1, l1 = mesh.marked_facet_cells
+        # pick the attached fluid cell per marked facet (if any)
+        cells = np.full(len(c0), -1, np.int64)
+        f0 = is_fluid[c0]
+        cells[f0] = c0[f0]
+        has1 = c1 >= 0
+        f1 = np.zeros_like(f0)
+        f1[has1] = is_fluid[c1[has1]]
+        only1 = f1 & ~f0
+        cells[only1] = c1[only1]
+        sel = cells >= 0
+        self.sel = sel
+        self.markers = mesh.facet_markers[sel]
+        fv = np.sort(mesh.facets[sel].astype(np.int64), axis=1)
+        cells = cells[sel]
+        self.cells = cells
+
+        x = mesh.coords[fv]
+        e1 = x[:, 1] - x[:, 0]
+        e2 = x[:, 2] - x[:, 0]
+        cr = np.cross(e1, e2)
+        self.area2 = np.linalg.norm(cr, axis=1)
+        n = cr / self.area2[:, None]
+        cc = mesh.coords[mesh.cells[cells]].mean(axis=1)
+        flip = np.einsum("ki,ki->k", n, x.mean(axis=1) - cc) < 0
+        n[flip] *= -1.0
+        self.normals = n  # outward from the fluid
+
+        # facet quadrature points in each cell's reference coords
+        qp2d, wq = tri_quadrature(quad_degree)
+        self.wq = wq
+        xq = (
+            x[:, None, 0, :]
+            + qp2d[None, :, 0, None] * e1[:, None, :]
+            + qp2d[None, :, 1, None] * e2[:, None, :]
+        )  # (K,nq,3)
+        Jinv, _, _ = cell_geometry(mesh.coords, mesh.cells)
+        Jc = Jinv[cells]  # (K,3,3)
+        x0 = mesh.coords[mesh.cells[cells][:, 0]]
+        xi = np.einsum("kji,kqi->kqj", Jc, xq - x0[:, None, :])  # (K,nq,3)
+        K, nq = xi.shape[:2]
+        _, dN2 = p2_tet(xi.reshape(-1, 3))
+        dN2 = dN2.reshape(K, nq, 10, 3)
+        # physical gradients: G[k,q,a,i] = dN2[k,q,a,j] Jc[k,j,i]
+        self.G2 = np.einsum("kqaj,kji->kqai", dN2, Jc)
+        # P1 facet basis at quad points (for nodal projection)
+        self.N1f, _ = p1_tri(qp2d)  # (nq,3)
+        self.facet_verts = fv
+
+        # boundary node set + compact numbering
+        self.bnodes = np.unique(fv)
+        remap = -np.ones(mesh.num_vertices, np.int64)
+        remap[self.bnodes] = np.arange(len(self.bnodes))
+        self.facet_bnodes = remap[fv]  # (K,3) compact
+        self.boundary_coords = mesh.coords[self.bnodes]
+        self.boundary_tris = self.facet_bnodes
+
+        # lumped projection mass: m_a = sum_k sum_q wq area2 N1f
+        m = np.zeros(len(self.bnodes))
+        contrib = np.einsum("q,qa,k->ka", wq, self.N1f, self.area2)
+        np.add.at(m, self.facet_bnodes.reshape(-1), contrib.reshape(-1))
+        self.lumped_mass = m
+
+    def wss_series(self, u_series, cell_dofs_p2, mu_f):
+        """u_series (T, n_p2, 3) full-mesh P2 velocity -> nodal WSS vectors
+        (T, n_bnodes, 3) on the fluid boundary."""
+        G2 = jnp.asarray(self.G2)
+        dofs = jnp.asarray(cell_dofs_p2[self.cells])  # (K,10)
+        n = jnp.asarray(self.normals)
+        wq = jnp.asarray(self.wq)
+        area2 = jnp.asarray(self.area2)
+        N1f = jnp.asarray(self.N1f)
+        fb = jnp.asarray(self.facet_bnodes)
+        m = jnp.asarray(self.lumped_mass)
+
+        def one_step(u):
+            ue = u[dofs]  # (K,10,3)
+            grad = jnp.einsum("kai,kqaj->kqij", ue, G2)  # (K,nq,3,3)
+            sig = mu_f * (grad + jnp.swapaxes(grad, 2, 3))
+            t = jnp.einsum("kqij,kj->kqi", sig, n)  # traction (K,nq,3)
+            tn = jnp.einsum("kqi,ki->kq", t, n)
+            tau = t - tn[..., None] * n[:, None, :]  # tangential
+            # lumped P1 projection to boundary nodes
+            b = jnp.einsum("q,qa,kqi,k->kai", wq, N1f, tau, area2)
+            out = jnp.zeros((m.shape[0], 3))
+            out = out.at[fb.reshape(-1)].add(b.reshape(-1, 3))
+            return out / m[:, None]
+
+        return jnp.stack([one_step(jnp.asarray(u)) for u in u_series])
+
+
+def compute_hemodynamics(folder, mesh_path=None, quad_degree=2):
+    """Main entry (vasp-compute-hemo equivalent)."""
+    folder = Path(folder)
+    params = read_parameters_from_file(folder) or {}
+    mu_f = params.get("mu_f", 1.0)
+    if isinstance(mu_f, (list, tuple)):
+        mu_f = mu_f[0]
+    dx_f_id = params.get("dx_f_id", 1)
+    dx_s_id = params.get("dx_s_id", 2)
+    save_deg = int(params.get("save_deg", 2))
+    mesh_path = Path(mesh_path) if mesh_path else folder / "Mesh" / "mesh.h5"
+    mesh = read_vasp_mesh(mesh_path)
+
+    sep = folder / "Visualization_separate_domain"
+    u_path = sep / "u.h5"
+    if not u_path.exists():
+        from vasp_tpu.postprocessing.fields.create_hdf5 import create_hdf5
+
+        create_hdf5(folder, mesh_path=mesh_path)
+    with h5py.File(u_path, "r") as f:
+        T = len(f["time"])
+        times = f["time"][:]
+        ids = f["ids"][:]
+        n_p2 = mesh.num_vertices + mesh.num_edges
+        u_series = np.zeros((T, n_p2, 3))
+        for k in range(T):
+            u_series[k, ids] = f[f"velocity/vector_{k}"][:]
+
+    from vasp_tpu.fem.functionspace import DVPSpace
+
+    space = DVPSpace(mesh)
+    tables = FluidBoundaryTables(mesh, dx_f_id, quad_degree)
+    tau = np.asarray(tables.wss_series(u_series, space.cell_dofs_p2, mu_f))
+
+    dt = np.diff(times).mean() if len(times) > 1 else 1.0
+    tau_mag = np.linalg.norm(tau, axis=2)  # (T,Nb)
+    TAWSS = tau_mag.mean(axis=0)
+    WSS_mean = tau.mean(axis=0)
+    wss_mean_mag = np.linalg.norm(WSS_mean, axis=1)
+    if len(times) > 1:
+        dtau = np.diff(tau, axis=0) / dt
+        TWSSG = np.linalg.norm(dtau, axis=2).mean(axis=0)
+    else:
+        TWSSG = np.zeros_like(TAWSS)
+    eps = 1e-300
+    RRT = 1.0 / np.maximum(wss_mean_mag, eps)
+    OSI = 0.5 * (1.0 - wss_mean_mag / np.maximum(TAWSS, eps))
+    ECAP = OSI / np.maximum(TAWSS, eps)
+
+    # OSI range assert (reference compute_hemodynamics.py:366-372)
+    tol = 1e-12
+    assert OSI.min() >= -tol and OSI.max() <= 0.5 + tol, (
+        "OSI out of [0, 0.5]"
+    )
+
+    out_dir = folder / "Hemodynamic_indices"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    coords, tris = tables.boundary_coords, tables.boundary_tris
+    for name, arr in (("TAWSS", TAWSS), ("TWSSG", TWSSG), ("OSI", OSI),
+                      ("RRT", RRT), ("ECAP", ECAP)):
+        w = VizWriter(out_dir, name, coords, tris, vector=False,
+                      cell_type="Triangle")
+        w.write(arr, 0.0)
+    # instantaneous WSS time series
+    w = VizWriter(out_dir, "WSS", coords, tris, vector=True,
+                  cell_type="Triangle")
+    for k, t in enumerate(times):
+        w.write(tau[k], float(t))
+    # expose facet markers for region selection by downstream consumers
+    with h5py.File(out_dir / "TAWSS.h5", "a") as f:
+        f.create_dataset("boundary_markers", data=tables.markers)
+        f.create_dataset("boundary_nodes", data=tables.bnodes)
+    return dict(TAWSS=TAWSS, TWSSG=TWSSG, OSI=OSI, RRT=RRT, ECAP=ECAP,
+                tau=tau, tables=tables, times=times)

@@ -1,0 +1,204 @@
+"""Solid stress / strain postprocessing.
+
+Parity target: vasp-compute-stress
+(reference: src/vasp/postprocessing/postprocessing_fenics/compute_stress_strain.py):
+from the solid displacement series compute per timestep
+- Green-Lagrange strain E = (F^T F - I)/2,
+- 2nd Piola-Kirchhoff S(d, solid_properties) per solid subdomain (same
+  material library as the solver, reference L13, 199-211),
+- true (Cauchy) stress sigma = (1/J) F S F^T (L211),
+- max principal stress/strain via the closed-form Cardano eigenvalue
+  (reference common.get_eig, L243-247),
+- time-averaged max principal fields (L267-279).
+Outputs: StressStrain/{TrueStress,GreenLagrangeStrain,MaxPrincipalStress,
+MaxPrincipalStrain}.xdmf time series + MaxPrincipal{Stress,Strain}_avg.xdmf
+(reference L171-279).
+
+Fields are DG1 per solid cell (evaluated at the 4 cell vertices from exact
+P2 gradients), batched over timesteps with jnp.
+"""
+from pathlib import Path
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vasp_tpu.fem.assembly import cell_geometry
+from vasp_tpu.fem.kinematics import S_, get_eig, I3
+from vasp_tpu.fem.shape import p2_tet
+from vasp_tpu.fem.functionspace import DVPSpace
+from vasp_tpu.fem.smallmat import det3
+from vasp_tpu.mesh.io import read_vasp_mesh
+from vasp_tpu.postprocessing.common import read_parameters_from_file
+from vasp_tpu.run.output import VizWriter
+
+# reference tet vertices in reference coords
+_VERTS = np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+
+
+def _normalize_solid_props(params):
+    props = params.get("solid_properties")
+    if props:
+        return props if isinstance(props, list) else [props]
+    ids = np.atleast_1d(params.get("dx_s_id", 2)).tolist()
+    out = []
+    for k, i in enumerate(ids):
+        def pick(key, default=None):
+            v = params.get(key, default)
+            if isinstance(v, (list, tuple)):
+                return v[k]
+            return v
+        out.append({
+            "dx_s_id": i,
+            "material_model": pick("material_model", "StVenantKirchoff"),
+            "rho_s": pick("rho_s", 1e3),
+            "mu_s": pick("mu_s"), "lambda_s": pick("lambda_s"),
+            "C01": pick("C01"), "C10": pick("C10"), "C11": pick("C11"),
+        })
+    return out
+
+
+def compute_stress_strain(folder, mesh_path=None, stride=1):
+    folder = Path(folder)
+    params = read_parameters_from_file(folder) or {}
+    mesh_path = Path(mesh_path) if mesh_path else folder / "Mesh" / "mesh.h5"
+    mesh = read_vasp_mesh(mesh_path)
+    space = DVPSpace(mesh)
+    solid_props = _normalize_solid_props(params)
+    save_deg = int(params.get("save_deg", 2))
+
+    # displacement series on full-mesh P2 dofs
+    sep = folder / "Visualization_separate_domain"
+    d_file = None
+    for cand in ("d.h5", "d_solid.h5"):
+        if (sep / cand).exists():
+            d_file = sep / cand
+            break
+    if d_file is None:
+        from vasp_tpu.postprocessing.fields.create_hdf5 import create_hdf5
+
+        create_hdf5(folder, mesh_path=mesh_path, extract_solid_only=True)
+        d_file = sep / "d_solid.h5"
+    n_p2 = space.n_p2
+    with h5py.File(d_file, "r") as f:
+        times = f["time"][:]
+        ids = f["ids"][:]
+        T = len(times)
+        steps = list(range(0, T, stride))
+        d_series = np.zeros((len(steps), n_p2, 3))
+        for k, i in enumerate(steps):
+            d_series[k, ids] = f[f"displacement/vector_{i}"][:]
+        times = times[steps]
+
+    Jinv, _, _ = cell_geometry(mesh.coords, mesh.cells)
+    # P2 gradients at cell vertices
+    _, dN2 = p2_tet(_VERTS)  # (4,10,3)
+
+    # per solid subdomain: batched kernel over (cells, 4 verts)
+    out_dir = folder / "StressStrain"
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    all_sel = []
+    kernels = []
+    for sp_ in solid_props:
+        sel = np.nonzero(mesh.cell_markers == sp_["dx_s_id"])[0]
+        if len(sel) == 0:
+            continue
+        props = {k: v for k, v in sp_.items() if v is not None}
+
+        def make_kernel(props):
+            def cellvert(grad_d):
+                F = I3 + grad_d
+                J = det3(F)
+                E = 0.5 * (F.T @ F - I3)
+                S = S_(grad_d, props)
+                sig = (F @ S @ F.T) / J
+                return sig, E
+
+            return jax.vmap(jax.vmap(cellvert))
+
+        all_sel.append(sel)
+        kernels.append(make_kernel(props))
+
+    solid_cells = np.concatenate(all_sel)
+    # DG1 output mesh: solid cells with their own vertex list (discontinuous
+    # per cell is collapsed to shared vertices for visualization)
+    sub_cells = mesh.cells[solid_cells]
+    verts = np.unique(sub_cells)
+    remap = -np.ones(mesh.num_vertices, np.int64)
+    remap[verts] = np.arange(len(verts))
+    out_cells = remap[sub_cells]
+    out_coords = mesh.coords[verts]
+    nv = len(verts)
+
+    writers = {
+        name: VizWriter(out_dir, name, out_coords, out_cells, vector=False)
+        for name in ("MaxPrincipalStress", "MaxPrincipalStrain")
+    }
+    tensor_writers = {
+        name: VizWriter(out_dir, name, out_coords, out_cells, vector=True)
+        for name in ("TrueStress", "GreenLagrangeStrain")
+    }
+
+    eig_vmapped = jax.jit(jax.vmap(jax.vmap(get_eig)))
+    mps_sum = np.zeros(nv)
+    mpe_sum = np.zeros(nv)
+
+    dofs = space.cell_dofs_p2[solid_cells]  # (K,10)
+    G = np.einsum("qaj,kji->kqai", dN2, Jinv[solid_cells])  # (K,4,10,3)
+    Gj = jnp.asarray(G)
+    dofs_j = jnp.asarray(dofs)
+
+    @jax.jit
+    def step_fields(d):
+        de = d[dofs_j]  # (K,10,3)
+        gd = jnp.einsum("kai,kqaj->kqij", de, Gj)  # (K,4,3,3)
+        return gd
+
+    for k, t in enumerate(times):
+        gd = step_fields(jnp.asarray(d_series[k]))
+        sig = np.zeros((len(solid_cells), 4, 3, 3))
+        eps = np.zeros_like(sig)
+        off = 0
+        for sel, kern in zip(all_sel, kernels):
+            s, e = kern(gd[off:off + len(sel)])
+            sig[off:off + len(sel)] = np.asarray(s)
+            eps[off:off + len(sel)] = np.asarray(e)
+            off += len(sel)
+        mps = np.asarray(eig_vmapped(jnp.asarray(sig)))  # (K,4)
+        mpe = np.asarray(eig_vmapped(jnp.asarray(eps)))
+
+        # collapse DG1 -> vertex values (average of adjacent cells)
+        def to_nodes(vals):
+            out = np.zeros(nv)
+            cnt = np.zeros(nv)
+            np.add.at(out, out_cells.ravel(), vals.ravel())
+            np.add.at(cnt, out_cells.ravel(), 1.0)
+            return out / np.maximum(cnt, 1.0)
+
+        mps_n = to_nodes(mps)
+        mpe_n = to_nodes(mpe)
+        writers["MaxPrincipalStress"].write(mps_n, float(t))
+        writers["MaxPrincipalStrain"].write(mpe_n, float(t))
+        # tensor series: write von-Mises-style magnitude + diagonal as vector
+        sig_diag = np.stack(
+            [to_nodes(sig[:, :, i, i]) for i in range(3)], axis=1
+        )
+        eps_diag = np.stack(
+            [to_nodes(eps[:, :, i, i]) for i in range(3)], axis=1
+        )
+        tensor_writers["TrueStress"].write(sig_diag, float(t))
+        tensor_writers["GreenLagrangeStrain"].write(eps_diag, float(t))
+        mps_sum += mps_n
+        mpe_sum += mpe_n
+
+    avg_writers = {
+        "MaxPrincipalStress_avg": mps_sum / len(times),
+        "MaxPrincipalStrain_avg": mpe_sum / len(times),
+    }
+    for name, arr in avg_writers.items():
+        w = VizWriter(out_dir, name, out_coords, out_cells, vector=False)
+        w.write(arr, 0.0)
+    return dict(times=times, mps_avg=mps_sum / len(times),
+                mpe_avg=mpe_sum / len(times))

@@ -1,0 +1,353 @@
+"""Simulation-log parsing and plotting (the offline trace viewer).
+
+Parity target: vasp-log-plotter
+(reference: src/vasp/postprocessing/log_plotter.py): regex-parses the solver
+stdout (time step/CPU time/ramp factor/interface pressure/Newton residuals/
+probe velocity+pressure+displacement/flow rate/velocity-CFL-Re triples/min
+Jacobian), plots each quantity vs time, per-cycle comparison and
+cycle-averaged variants, probe-point TKE via phase-averaged fluctuations,
+and saves probe-data pickles. Output PNG names match the reference's
+(reference: tests/test_log_plotter.py image lists)."""
+import argparse
+import json
+import pickle
+import re
+from pathlib import Path
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+
+# the exact patterns of reference log_plotter.py:72-84
+_PATTERNS = {
+    "time_step": re.compile(r"Solved for timestep (.*), t = (.*) in (.*) s"),
+    "ramp_factor": re.compile(r"ramp_factor = (.*) m\^3/s"),
+    "pressure": re.compile(
+        r"Instantaneous normal stress prescribed at the FSI interface (.*) Pa"
+    ),
+    "newton": re.compile(
+        r"Newton iteration (.*): r \(atol\) = (.*) \(tol = .*\), "
+        r"r \(rel\) = (.*) \(tol = .*\)"
+    ),
+    "probe": re.compile(
+        r"Probe Point (.*): Velocity: \((.*), (.*), (.*)\) \| Pressure: (.*)"
+    ),
+    "probe_disp": re.compile(
+        r"Probe Point (.*): Displacement: \((.*), (.*), (.*)\)"
+    ),
+    "flow_rate": re.compile(r"\s*Flow Rate at Inlet: (.*)"),
+    "velocity": re.compile(r"\s*Velocity \(mean, min, max\): (.*), (.*), (.*)"),
+    "cfl": re.compile(r"\s*CFL \(mean, min, max\): (.*), (.*), (.*)"),
+    "reynolds": re.compile(
+        r"\s*Reynolds Numbers \(mean, min, max\): (.*), (.*), (.*)"
+    ),
+    "min_jacobian": re.compile(r"Minimum Jacobian: (.*)"),
+}
+
+
+def parse_log_file(log_file):
+    """Parse a solver log into a structured dict of numpy arrays
+    (reference: log_plotter.py:30-202)."""
+    data = {
+        "time_step": [], "time": [], "cpu_time": [], "ramp_factor": [],
+        "pressure": [],
+        "newton_iteration": {"atol": [], "rtol": []},
+        "probe_points": {}, "probe_points_displacement": {},
+        "flow_properties": {
+            "flow_rate": [], "velocity_mean": [], "velocity_min": [],
+            "velocity_max": [], "cfl_mean": [], "cfl_min": [], "cfl_max": [],
+            "reynolds_mean": [], "reynolds_min": [], "reynolds_max": [],
+        },
+        "min_jacobian": [],
+    }
+    with open(log_file) as f:
+        for line in f:
+            m = _PATTERNS["time_step"].match(line)
+            if m:
+                data["time_step"].append(int(m.group(1)))
+                data["time"].append(float(m.group(2)))
+                data["cpu_time"].append(float(m.group(3)))
+                continue
+            m = _PATTERNS["ramp_factor"].match(line)
+            if m:
+                data["ramp_factor"].append(float(m.group(1)))
+                continue
+            m = _PATTERNS["pressure"].match(line)
+            if m:
+                data["pressure"].append(float(m.group(1)))
+                continue
+            m = _PATTERNS["newton"].match(line)
+            if m:
+                data["newton_iteration"]["atol"].append(float(m.group(2)))
+                data["newton_iteration"]["rtol"].append(float(m.group(3)))
+                continue
+            m = _PATTERNS["probe"].match(line)
+            if m:
+                p = int(m.group(1))
+                d = data["probe_points"].setdefault(
+                    p, {"velocity": [], "magnitude": [], "pressure": []}
+                )
+                vel = [float(m.group(i)) for i in (2, 3, 4)]
+                d["velocity"].append(vel)
+                d["magnitude"].append(float(np.linalg.norm(vel)))
+                d["pressure"].append(float(m.group(5)))
+                continue
+            m = _PATTERNS["probe_disp"].match(line)
+            if m:
+                p = int(m.group(1))
+                d = data["probe_points_displacement"].setdefault(
+                    p, {"displacement": [], "displacement_magnitude": []}
+                )
+                disp = [float(m.group(i)) for i in (2, 3, 4)]
+                d["displacement"].append(disp)
+                d["displacement_magnitude"].append(
+                    float(np.linalg.norm(disp))
+                )
+                continue
+            for key, field in (
+                ("flow_rate", ("flow_rate",)),
+                ("velocity", ("velocity_mean", "velocity_min",
+                              "velocity_max")),
+                ("cfl", ("cfl_mean", "cfl_min", "cfl_max")),
+                ("reynolds", ("reynolds_mean", "reynolds_min",
+                              "reynolds_max")),
+            ):
+                m = _PATTERNS[key].match(line)
+                if m:
+                    for i, name in enumerate(field):
+                        data["flow_properties"][name].append(
+                            float(m.group(i + 1))
+                        )
+                    break
+            else:
+                m = _PATTERNS["min_jacobian"].match(line)
+                if m:
+                    data["min_jacobian"].append(float(m.group(1)))
+
+    def to_np(d):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                to_np(v)
+            elif isinstance(v, list):
+                d[k] = np.asarray(v)
+
+    to_np(data)
+    return data
+
+
+def parse_dictionary_from_log(log_file):
+    """Extract the default_variables dump from a log, if present
+    (reference: log_plotter.py:204-260). Falls back to
+    Checkpoint/default_variables.json next to the log."""
+    text = Path(log_file).read_text()
+    m = re.search(r"\{.*\}", text, re.DOTALL)
+    if m:
+        try:
+            cleaned = m.group(0).replace("'", '"').replace("None", "null") \
+                .replace("True", "true").replace("False", "false")
+            return json.loads(cleaned)
+        except json.JSONDecodeError:
+            pass
+    cand = Path(log_file).parent / "Checkpoint" / "default_variables.json"
+    if cand.exists():
+        return json.loads(cand.read_text())
+    return {}
+
+
+def compute_tke(probe_velocities, times, period):
+    """Turbulent kinetic energy of probe-point velocity via phase-averaged
+    fluctuations (reference: log_plotter.py:928-990): split the series into
+    cycles, phase-average, subtract, TKE = 0.5 * mean |u'|^2 per phase."""
+    times = np.asarray(times)
+    if len(times) < 2 or period is None:
+        return None, None
+    dt = np.mean(np.diff(times))
+    steps_per_cycle = int(round(period / dt))
+    if steps_per_cycle <= 0:
+        return None, None
+    n_cycles = len(times) // steps_per_cycle
+    if n_cycles < 1:
+        return None, None
+    v = np.asarray(probe_velocities)[: n_cycles * steps_per_cycle]
+    v = v.reshape(n_cycles, steps_per_cycle, -1)
+    phase_avg = v.mean(axis=0, keepdims=True)
+    fluct = v - phase_avg
+    tke = 0.5 * np.sum(fluct ** 2, axis=2).mean(axis=0)
+    phase_t = times[:steps_per_cycle]
+    return phase_t, tke
+
+
+def _save_plot(x, ys, labels, title, ylabel, path, xlabel="Time [s]",
+               semilogy=False):
+    fig = plt.figure(figsize=(10, 6))
+    plot = plt.semilogy if semilogy else plt.plot
+    for y, lab in zip(ys, labels):
+        n = min(len(x), len(y))
+        if n == 0:
+            continue
+        plot(x[:n], y[:n], label=lab)
+    plt.xlabel(xlabel)
+    plt.ylabel(ylabel)
+    plt.title(title)
+    if any(labels):
+        plt.legend()
+    plt.grid(True)
+    plt.savefig(path)
+    plt.close(fig)
+
+
+def plot_all(data, out_dir, period=None, save=True):
+    """Emit the reference's standard figure set
+    (reference image dirs: tests/test_data/reference_images/**)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    t = data["time"]
+    fp = data["flow_properties"]
+    figures = []
+
+    def plot(name, ys, labels, ylabel, x=None, **kw):
+        path = out / f"{name}.png"
+        _save_plot(t if x is None else x, ys, labels, name.replace("_", " "),
+                   ylabel, path, **kw)
+        figures.append(path)
+
+    plot("cpu_time", [data["cpu_time"]], [""], "CPU time [s]")
+    if len(data["ramp_factor"]):
+        plot("ramp_factor", [data["ramp_factor"]], [""], "ramp factor")
+    if len(data["pressure"]):
+        plot("pressure", [data["pressure"]], [""], "Pressure [Pa]")
+    plot("flow_rate", [fp["flow_rate"]], [""], "Flow rate [m3/s]")
+    plot("velocity",
+         [fp["velocity_mean"], fp["velocity_min"], fp["velocity_max"]],
+         ["mean", "min", "max"], "Velocity [m/s]")
+    plot("cfl", [fp["cfl_mean"], fp["cfl_min"], fp["cfl_max"]],
+         ["mean", "min", "max"], "CFL")
+    plot("reynolds_numbers",
+         [fp["reynolds_mean"], fp["reynolds_min"], fp["reynolds_max"]],
+         ["mean", "min", "max"], "Re")
+    na = data["newton_iteration"]["atol"]
+    nr = data["newton_iteration"]["rtol"]
+    if len(na):
+        xi = np.arange(len(na))
+        _save_plot(xi, [na], [""], "newton iteration (atol)", "r (atol)",
+                   out / "newton_iteration_(atol).png",
+                   xlabel="iteration", semilogy=True)
+        _save_plot(xi, [nr], [""], "newton iteration (rtol)", "r (rel)",
+                   out / "newton_iteration_(rtol).png",
+                   xlabel="iteration", semilogy=True)
+        figures += [out / "newton_iteration_(atol).png",
+                    out / "newton_iteration_(rtol).png"]
+    if len(data["min_jacobian"]):
+        plot("minimum_jacobian", [data["min_jacobian"]], [""],
+             "min J(d)")
+
+    # probe points
+    if data["probe_points"]:
+        fig = plt.figure(figsize=(10, 6))
+        for p, d in sorted(data["probe_points"].items()):
+            n = min(len(t), len(d["magnitude"]))
+            plt.plot(t[:n], d["magnitude"][:n], label=f"probe {p}")
+        plt.xlabel("Time [s]")
+        plt.ylabel("|u| [m/s]")
+        plt.legend()
+        plt.grid(True)
+        plt.savefig(out / "probe_points.png")
+        plt.close(fig)
+        figures.append(out / "probe_points.png")
+        # TKE
+        if period:
+            fig = plt.figure(figsize=(10, 6))
+            plotted = False
+            for p, d in sorted(data["probe_points"].items()):
+                phase_t, tke = compute_tke(d["velocity"], t[: len(d["velocity"])],
+                                           period)
+                if tke is not None:
+                    plt.plot(phase_t, tke, label=f"probe {p}")
+                    plotted = True
+            if plotted:
+                plt.xlabel("Phase time [s]")
+                plt.ylabel("TKE [m2/s2]")
+                plt.legend()
+                plt.grid(True)
+                plt.savefig(out / "probe_points_tke.png")
+                figures.append(out / "probe_points_tke.png")
+            plt.close(fig)
+    if data["probe_points_displacement"]:
+        fig = plt.figure(figsize=(10, 6))
+        for p, d in sorted(data["probe_points_displacement"].items()):
+            mag = d["displacement_magnitude"]
+            n = min(len(t), len(mag))
+            plt.plot(t[:n], mag[:n], label=f"probe {p}")
+        plt.xlabel("Time [s]")
+        plt.ylabel("|d| [m]")
+        plt.legend()
+        plt.grid(True)
+        plt.savefig(out / "probe_points_displacement.png")
+        plt.close(fig)
+        figures.append(out / "probe_points_displacement.png")
+
+    # probe data pickles (reference: log_plotter.py:717-807)
+    with open(out / "probe_points.pickle", "wb") as f:
+        pickle.dump(data["probe_points"], f)
+    return figures
+
+
+def plot_compare_cycles(data, out_dir, period):
+    """Per-cycle overlay plots (reference compare-cycles variants)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    t = data["time"]
+    if len(t) < 2 or not period:
+        return []
+    dt = np.mean(np.diff(t))
+    spc = int(round(period / dt))
+    if spc <= 0:
+        return []
+    n_cycles = len(t) // spc
+    figures = []
+    for key, series, ylabel in (
+        ("flow_rate", data["flow_properties"]["flow_rate"], "Flow rate"),
+        ("velocity", data["flow_properties"]["velocity_mean"], "Velocity"),
+    ):
+        if len(series) < spc:
+            continue
+        fig = plt.figure(figsize=(10, 6))
+        for c in range(n_cycles):
+            seg = series[c * spc: (c + 1) * spc]
+            plt.plot(np.arange(len(seg)) * dt, seg, label=f"cycle {c + 1}")
+        plt.xlabel("Cycle time [s]")
+        plt.ylabel(ylabel)
+        plt.legend()
+        plt.grid(True)
+        path = out / f"{key}_cycles.png"
+        plt.savefig(path)
+        plt.close(fig)
+        figures.append(path)
+    return figures
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="vasp-log-plotter")
+    parser.add_argument("--log-file", required=True)
+    parser.add_argument("--save-figures", action="store_true", default=True)
+    parser.add_argument("--output-directory", default=None)
+    parser.add_argument("--plot-cpu-time", action="store_true")
+    parser.add_argument("--plot-all", action="store_true", default=True)
+    parser.add_argument("--compare-cycles", action="store_true")
+    parser.add_argument("--period", type=float, default=None,
+                        help="cardiac cycle length for TKE / cycle plots")
+    parser.add_argument("--start-cycle", type=int, default=1)
+    parser.add_argument("--end-cycle", type=int, default=None)
+    args = parser.parse_args(argv)
+    data = parse_log_file(args.log_file)
+    out = args.output_directory or (Path(args.log_file).parent / "Images")
+    figs = plot_all(data, out, period=args.period)
+    if args.compare_cycles and args.period:
+        figs += plot_compare_cycles(data, out, args.period)
+    print(f"Saved {len(figs)} figures to {out}")
+
+
+if __name__ == "__main__":
+    main()

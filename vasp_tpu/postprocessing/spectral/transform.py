@@ -1,0 +1,161 @@
+"""Time-series matrix construction: the spectral pipeline's pivot op.
+
+Parity target: create_transformed_matrix
+(reference: src/vasp/postprocessing/postprocessing_h5py/postprocessing_h5py_common.py:154-409):
+(timesteps x h5 files) -> per-component node x time matrices saved as
+compressed npz (components mag/x/y/z for d and v, scalar for p, 6 tensor
+components for stress/strain).
+
+Node-region selection mirrors the reference's sampling-region logic
+(reference: spectrograms.py:221-266): sphere or box intersected with
+{fluid | solid | interface | all} node sets."""
+from pathlib import Path
+
+import h5py
+import numpy as np
+
+from vasp_tpu.mesh.io import read_vasp_mesh
+from vasp_tpu.postprocessing.common import (
+    get_domain_ids,
+    get_domain_ids_refined,
+    get_interface_ids,
+    output_file_lists,
+    read_parameters_from_file,
+)
+
+_COMPONENTS = {"v": ["mag", "x", "y", "z"], "d": ["mag", "x", "y", "z"],
+               "p": ["mag"]}
+_FIELD_FILE = {"v": "velocity", "d": "displacement", "p": "pressure"}
+
+
+def create_transformed_matrix(folder, quantity="v", start_t=None, end_t=None,
+                              stride=1, out_folder=None):
+    """Read the Visualization series of `quantity` ('v'|'d'|'p') and save
+    node x time matrices per component. Returns (dict comp->array, times,
+    npz folder)."""
+    folder = Path(folder)
+    viz = folder / "Visualization"
+    name = _FIELD_FILE[quantity]
+    h5s, times, idxs = output_file_lists(viz / f"{name}.xdmf")
+    times = np.asarray(times)
+    sel = np.arange(len(times))[::stride]
+    if start_t is not None:
+        sel = sel[times[sel] >= start_t]
+    if end_t is not None:
+        sel = sel[times[sel] <= end_t]
+    if len(sel) > 1:
+        dts = np.diff(times[sel])
+        if np.abs(dts - dts[0]).max() > 1e-8:
+            print("WARNING : Uneven temporal spacing detected")
+
+    arrays = []
+    cache = {}
+    try:
+        for i in sel:
+            if h5s[i] not in cache:
+                cache[h5s[i]] = h5py.File(viz / h5s[i], "r")
+            arrays.append(cache[h5s[i]][f"VisualisationVector/{idxs[i]}"][:])
+    finally:
+        for f in cache.values():
+            f.close()
+    series = np.stack(arrays, axis=0)  # (T, N, 3) or (T, N)
+
+    comps = {}
+    if series.ndim == 3:
+        comps["x"] = series[:, :, 0].T
+        comps["y"] = series[:, :, 1].T
+        comps["z"] = series[:, :, 2].T
+        comps["mag"] = np.linalg.norm(series, axis=2).T
+    else:
+        comps["mag"] = series.T
+
+    out = Path(out_folder) if out_folder else folder / f"npz_{quantity}"
+    out.mkdir(parents=True, exist_ok=True)
+    for comp, mat in comps.items():
+        np.savez_compressed(out / f"{quantity}_{comp}.npz", data=mat,
+                            times=times[sel])
+    return comps, times[sel], out
+
+
+def select_region_nodes(mesh_path, params=None, region="sphere",
+                        sampling_region=None, fluid_sampling_domain=True,
+                        solid_sampling_domain=False, fsi_region=None,
+                        refined=None):
+    """Node ids in a sampling region (sphere [x,y,z,r] or box
+    [x0,x1,y0,y1,z0,z1]) intersected with the requested domain
+    (reference: spectrograms.py:221-266)."""
+    params = params or {}
+    mesh = read_vasp_mesh(mesh_path)
+    save_deg = int(params.get("save_deg", 2)) if refined is None else (
+        2 if refined else 1
+    )
+    dx_f = params.get("dx_f_id", 1)
+    dx_s = params.get("dx_s_id", 2)
+    if save_deg == 2:
+        fluid_ids, solid_ids, all_ids = get_domain_ids_refined(
+            mesh_path, dx_f, dx_s
+        )
+        coords = np.concatenate([mesh.coords, mesh.edge_midpoints])
+    else:
+        fluid_ids, solid_ids, all_ids = get_domain_ids(mesh_path, dx_f, dx_s)
+        coords = mesh.coords
+
+    if fluid_sampling_domain and solid_sampling_domain:
+        ids = all_ids
+    elif fluid_sampling_domain:
+        ids = fluid_ids
+    elif solid_sampling_domain:
+        ids = solid_ids
+    else:
+        ids = get_interface_ids(mesh_path, params.get("fsi_id", 22),
+                                refined=save_deg == 2)
+
+    if sampling_region is None and fsi_region is not None:
+        region, sampling_region = "sphere", fsi_region
+    if sampling_region is not None:
+        x = coords[ids]
+        if region == "sphere":
+            cx, cy, cz, r = sampling_region
+            keep = ((x[:, 0] - cx) ** 2 + (x[:, 1] - cy) ** 2
+                    + (x[:, 2] - cz) ** 2) <= r ** 2
+        else:  # box
+            x0, x1, y0, y1, z0, z1 = sampling_region
+            keep = ((x[:, 0] >= x0) & (x[:, 0] <= x1)
+                    & (x[:, 1] >= y0) & (x[:, 1] <= y1)
+                    & (x[:, 2] >= z0) & (x[:, 2] <= z1))
+        ids = ids[keep]
+    return ids
+
+
+def read_spectrogram_data(folder, mesh_path=None, quantity="v",
+                          n_samples=None, sampling_method="RandomPoint",
+                          point_ids=None, region="sphere",
+                          sampling_region=None, fluid_sampling_domain=True,
+                          solid_sampling_domain=False, start_t=None,
+                          end_t=None, stride=1, seed=0,
+                          component="mag"):
+    """Assemble the sampled node x time matrix for spectral analysis
+    (reference: spectrograms.py:160-330). Returns (matrix, times, fs)."""
+    folder = Path(folder)
+    params = read_parameters_from_file(folder) or {}
+    mesh_path = Path(mesh_path) if mesh_path else folder / "Mesh" / "mesh.h5"
+
+    npz = folder / f"npz_{quantity}" / f"{quantity}_{component}.npz"
+    if not npz.exists():
+        create_transformed_matrix(folder, quantity, start_t, end_t, stride)
+    data = np.load(npz)
+    mat, times = data["data"], data["times"]
+
+    ids = select_region_nodes(
+        mesh_path, params, region, sampling_region,
+        fluid_sampling_domain, solid_sampling_domain,
+        fsi_region=params.get("fsi_region"),
+    )
+    ids = ids[ids < mat.shape[0]]
+    if sampling_method == "PointList" and point_ids is not None:
+        ids = np.asarray(point_ids)
+    elif n_samples is not None and len(ids) > n_samples:
+        rng = np.random.default_rng(seed)
+        ids = rng.choice(ids, size=n_samples, replace=False)
+    fs = 1.0 / np.mean(np.diff(times)) if len(times) > 1 else 1.0
+    return mat[ids], times, fs

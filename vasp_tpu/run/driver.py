@@ -76,6 +76,14 @@ def run_simulation(problem, overrides=None):
 
     ns = dict(cfg)
     mesh = mod.get_mesh_domain_and_boundaries(**ns)
+    # persist the (possibly re-marked / generated) mesh in the reference's
+    # results layout so every postprocessing stage can find it
+    # (reference folder layout: docs/offset_stenosis.md:200-225)
+    from vasp_tpu.mesh.io import write_vasp_mesh
+
+    mesh_dir = folder / "Mesh"
+    mesh_dir.mkdir(parents=True, exist_ok=True)
+    write_vasp_mesh(mesh_dir / "mesh.h5", mesh)
     system = FSISystem(mesh, cfg)
     space = system.space
     ns.update(mesh=mesh, system=system, space=space, cfg=cfg,

@@ -36,13 +36,16 @@ _XDMF_FOOTER = """    </Grid>
 class VizWriter:
     """One field's time-series writer (velocity / displacement / pressure)."""
 
-    def __init__(self, folder, name, coords, cells, vector=True):
+    def __init__(self, folder, name, coords, cells, vector=True,
+                 cell_type="Tetrahedron"):
         self.folder = Path(folder)
         self.folder.mkdir(parents=True, exist_ok=True)
         self.name = name
         self.h5_path = self.folder / f"{name}.h5"
         self.xdmf_path = self.folder / f"{name}.xdmf"
         self.vector = vector
+        self.cell_type = cell_type
+        self.nodes_per_elem = {"Tetrahedron": 4, "Triangle": 3}[cell_type]
         self.count = 0
         self.entries = []
         self.n_nodes = len(coords)
@@ -76,8 +79,8 @@ class VizWriter:
         for t, i in self.entries:
             parts.append(
                 f"""      <Grid Name="mesh" GridType="Uniform">
-        <Topology NumberOfElements="{nc}" TopologyType="Tetrahedron" NodesPerElement="4">
-          <DataItem Dimensions="{nc} 4" NumberType="UInt" Format="HDF">{h5}:/Mesh/0/mesh/topology</DataItem>
+        <Topology NumberOfElements="{nc}" TopologyType="{self.cell_type}" NodesPerElement="{self.nodes_per_elem}">
+          <DataItem Dimensions="{nc} {self.nodes_per_elem}" NumberType="UInt" Format="HDF">{h5}:/Mesh/0/mesh/topology</DataItem>
         </Topology>
         <Geometry GeometryType="XYZ">
           <DataItem Dimensions="{nn} 3" Format="HDF">{h5}:/Mesh/0/mesh/geometry</DataItem>
