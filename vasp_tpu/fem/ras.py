@@ -1,0 +1,134 @@
+"""Restricted Additive Schwarz (RAS) preconditioner with exact subdomain
+solves — the production preconditioner of the iterative (TPU) path.
+
+Measured on the FSI tube Jacobian: Ruiz-equilibrated GMRES + RAS(overlap=2)
+converges to 1e-13 in ~73 iterations where element-Schwarz / field-split /
+node-block / plain ILU all stall (see fem/scaling.py docstring).
+
+Division of labor (mirrors how the reference amortizes MUMPS
+factorizations over recompute_tstep timesteps,
+reference: src/vasp/simulations/offset_stenosis.py:47-48):
+
+- SETUP (per Jacobian rebuild, host + device): partition dofs into S
+  subdomains (RCM-ordered chunks of the dof graph), expand each by
+  `overlap` graph layers, slice the Ruiz-scaled CSR into padded dense
+  local blocks, invert them BATCHED in f32 (MXU),
+- APPLY (every Krylov iteration, pure jitted device code):
+  gather -> batched dense matvec -> restricted scatter (each dof written
+  only by its owner subdomain).
+"""
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+
+@dataclass
+class RASPattern:
+    """Static subdomain structure (depends on mesh/dofmap only)."""
+
+    idx: np.ndarray  # (S, m) padded dof ids per subdomain
+    own: np.ndarray  # (S, m) bool: this subdomain owns the dof
+    pad_dof: int  # dummy dof id used for padding (== ndof)
+
+    @property
+    def n_subdomains(self):
+        return self.idx.shape[0]
+
+    @property
+    def local_size(self):
+        return self.idx.shape[1]
+
+
+def build_pattern(adj: sp.csr_matrix, ndof: int, n_subdomains: int,
+                  overlap: int = 2) -> RASPattern:
+    """Partition the dof graph into contiguous RCM chunks + overlap layers.
+
+    adj: symmetric dof adjacency (the Jacobian's sparsity works)."""
+    adj = adj.tocsr()
+    perm = reverse_cuthill_mckee(adj, symmetric_mode=False)
+    parts = np.array_split(perm, n_subdomains)
+    owner = np.empty(ndof, np.int64)
+    for s, p in enumerate(parts):
+        owner[p] = s
+
+    ext_sets = []
+    for s, p in enumerate(parts):
+        ext = np.zeros(ndof, bool)
+        ext[p] = True
+        for _ in range(overlap):
+            nbr = np.unique(adj[ext].indices)
+            ext[nbr] = True
+        ext_sets.append(np.nonzero(ext)[0])
+
+    m = max(len(e) for e in ext_sets)
+    S = len(parts)
+    idx = np.full((S, m), ndof, np.int64)  # pad with dummy dof
+    own = np.zeros((S, m), bool)
+    for s, e in enumerate(ext_sets):
+        idx[s, : len(e)] = e
+        own[s, : len(e)] = owner[e] == s
+    return RASPattern(idx=idx, own=own, pad_dof=ndof)
+
+
+def extract_local_blocks(A_scaled: sp.csr_matrix, pattern: RASPattern,
+                         bc_mask: np.ndarray) -> np.ndarray:
+    """Slice padded dense local matrices (S, m, m) from the scaled CSR.
+
+    bc rows/cols already replaced by identity in A_scaled (to_csr does it);
+    padded slots get identity rows."""
+    S, m = pattern.idx.shape
+    ndof = A_scaled.shape[0]
+    # extend with a dummy identity row/col for the padding slot
+    A_ext = sp.bmat(
+        [[A_scaled, None], [None, sp.identity(1, format="csr")]],
+        format="csr",
+    )
+    out = np.empty((S, m, m), np.float64)
+    for s in range(S):
+        ids = pattern.idx[s]
+        B = A_ext[np.ix_(ids, ids)].toarray()
+        # padding repeats the dummy index -> identical rows; rewrite every
+        # padded slot as a clean identity row/col
+        n_real = int(np.sum(ids != pattern.pad_dof))
+        if n_real < m:
+            B[n_real:, :] = 0.0
+            B[:, n_real:] = 0.0
+            B[range(n_real, m), range(n_real, m)] = 1.0
+        # a saddle-point row can also lose all its in-subdomain couplings
+        # (e.g. a pressure dof whose velocity partners fall outside the
+        # overlap): replace (near-)empty rows with identity (those dofs are
+        # never owned anyway)
+        empty = np.abs(B).max(axis=1) < 1e-12
+        if empty.any():
+            B[empty] = 0.0
+            B[empty, empty] = 1.0
+        out[s] = B
+    return out
+
+
+def invert_blocks(local_blocks) -> jnp.ndarray:
+    """f64 inversion of the local blocks. Runs on the HOST (numpy): this is
+    part of the amortized rebuild step anyway, the blocks can be conditioned
+    ~1e6+ (f32 produced NaNs), and XLA:TPU has no f64 LU."""
+    return jnp.asarray(np.linalg.inv(np.asarray(local_blocks, np.float64)))
+
+
+def make_apply(pattern: RASPattern, ndof: int):
+    """Returns jitted-compatible apply(pinv, r) -> y (unpadded length)."""
+    idx = jnp.asarray(pattern.idx)
+    own = jnp.asarray(pattern.own)
+
+    def apply(pinv, r):
+        rp = jnp.concatenate([r, jnp.zeros(1, r.dtype)])
+        rl = rp[idx]  # (S, m)
+        yl = jnp.einsum("sab,sb->sa", pinv, rl)
+        yl = jnp.where(own, yl, 0.0)
+        y = jnp.zeros(ndof + 1, r.dtype)
+        y = y.at[idx.reshape(-1)].add(yl.reshape(-1))
+        return y[:ndof]
+
+    return apply

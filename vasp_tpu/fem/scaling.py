@@ -1,0 +1,125 @@
+"""Ruiz equilibration and node-block preconditioning, matrix-free.
+
+The monolithic FSI Jacobian spans ~12 orders of magnitude (SI units,
+mm-scale geometry: displacement ~1e-6 m vs pressure ~1e3 Pa; lifting rows vs
+rho/dt mass rows). Measured on the tube case, the RAW matrix defeats every
+preconditioner (ILU included) through f64 rounding, while after 5 sweeps of
+Ruiz row/col equilibration its condition number drops to ~4e6 and ILU-class
+preconditioners converge in ~20 GMRES iterations. So the iterative path
+always solves the equilibrated system
+
+    (Dr A Dc) y = Dr R,   dx = Dc y.
+
+Everything here operates on the batched element Jacobians (never an
+assembled matrix): scatter-max for row/col maxima, per-element rescaling,
+and a 6x6 node-block preconditioner (the d-v coupling is node-local and
+stiff: kinematic constraint vs momentum) extracted by gather/scatter —
+all jit/TPU-friendly.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# local index patterns of the mixed element vector [d(10x3), v(10x3), p(4)]
+_LOC = np.arange(60)
+_LOC_NODE = (_LOC % 30) // 3  # P2 node 0..9
+_LOC_FIELD = _LOC // 30  # 0=d, 1=v
+_LOC_COMP = _LOC % 3
+_LOC_SLOT = _LOC_FIELD * 3 + _LOC_COMP  # 0..5 within the 6x6 node block
+
+
+def ruiz_scales(blocks, jacs, bc_mask, ndof, sweeps=5, reduce_max=None):
+    """Iterative row/col max-norm equilibration from element matrices.
+
+    Returns (dr, dc) with dr=dc=1 at constrained dofs (their rows are
+    identity in the solver's matvec). reduce_max: optional cross-shard max
+    reduction (jax.lax.pmax bound to the mesh axis) for SPMD execution."""
+    mask = bc_mask
+    dr = jnp.ones(ndof)
+    dc = jnp.ones(ndof)
+    for _ in range(sweeps):
+        rmax = jnp.zeros(ndof)
+        cmax = jnp.zeros(ndof)
+        for b, A in zip(blocks, jacs):
+            dofs = b.dofs
+            As = jnp.abs(
+                dr[dofs][:, :, None] * A * dc[dofs][:, None, :]
+            )
+            # ignore bc rows/cols (they are identity in the matvec)
+            bcm = mask[dofs]
+            As = jnp.where(bcm[:, :, None] | bcm[:, None, :], 0.0, As)
+            rmax = rmax.at[dofs.reshape(-1)].max(
+                As.max(axis=2).reshape(-1)
+            )
+            cmax = cmax.at[dofs.reshape(-1)].max(
+                As.max(axis=1).reshape(-1)
+            )
+        if reduce_max is not None:
+            rmax = reduce_max(rmax)
+            cmax = reduce_max(cmax)
+        dr = dr / jnp.sqrt(jnp.maximum(rmax, 1e-30))
+        dc = dc / jnp.sqrt(jnp.maximum(cmax, 1e-30))
+        dr = jnp.where(mask, 1.0, dr)
+        dc = jnp.where(mask, 1.0, dc)
+    return dr, dc
+
+
+def scale_element_jacobians(blocks, jacs, dr, dc):
+    """Pre-scale element matrices: A_e <- dr[rows] A_e dc[cols]."""
+    out = []
+    for b, A in zip(blocks, jacs):
+        dofs = b.dofs
+        out.append(dr[dofs][:, :, None] * A * dc[dofs][:, None, :])
+    return out
+
+
+def build_node_block(blocks, jacs_scaled, bc_mask, n_p2, off_p, ndof,
+                     reduce_fn=None):
+    """Extract and invert the 6x6 (d,v) node blocks of the (scaled) operator.
+
+    Returns pinv (n_p2, 6, 6). Pressure rows use identity (the Ruiz-scaled
+    rows are ~unit max-norm). Inversion in f32 (preconditioner-grade) with a
+    small regularization; constrained dofs act as identity. reduce_fn:
+    optional cross-shard psum (node blocks are sum-reducible)."""
+    nb = jnp.zeros((n_p2, 6, 6))
+    # reorder local (d,v) indices by (node, slot): groups of 6 per P2 node
+    order = jnp.asarray(np.lexsort((_LOC_SLOT, _LOC_NODE)))
+    for b, A in zip(blocks, jacs_scaled):
+        dofs = b.dofs  # (K,64) or (K,36) facet blocks
+        if dofs.shape[1] < 60:
+            continue
+        Adv = A[:, :60, :60]
+        Aord = Adv[:, order][:, :, order].reshape(-1, 10, 6, 10, 6)
+        # diagonal node pairs (advanced indexing puts the paired axis first)
+        Ablocks = Aord[:, jnp.arange(10), :, jnp.arange(10), :]
+        Ablocks = jnp.swapaxes(Ablocks, 0, 1)  # (K,10,6,6)
+        # global P2 node of each local node from its d-x dof index
+        node_ids = dofs[:, 0:30:3] // 3  # (K,10)
+        nb = nb.at[node_ids.reshape(-1)].add(Ablocks.reshape(-1, 6, 6))
+    if reduce_fn is not None:
+        nb = reduce_fn(nb)
+    # bc dofs -> identity rows/cols within the block
+    d_mask = bc_mask[: 3 * n_p2].reshape(n_p2, 3)
+    v_mask = bc_mask[3 * n_p2: 6 * n_p2].reshape(n_p2, 3)
+    m6 = jnp.concatenate([d_mask, v_mask], axis=1)  # (n_p2, 6)
+    eye = jnp.eye(6)
+    nb = jnp.where(m6[:, :, None], eye[None], nb)
+    nb = jnp.where(m6[:, None, :] & ~m6[:, :, None], 0.0, nb)
+    # untouched nodes (e.g. none) -> identity via regularization
+    nb = nb + 1e-8 * eye[None]
+    from vasp_tpu.fem.smallmat import inv6
+
+    # exact-f64 closed-form inverse (TPU-safe; f32 LU loses too much on
+    # blocks conditioned ~1e4-1e6)
+    return inv6(nb)
+
+
+def apply_node_block(pinv, r, n_p2, off_p):
+    """y = blkdiag(pinv) r for the (d,v) part; identity for pressure."""
+    rd = r[: 3 * n_p2].reshape(n_p2, 3)
+    rv = r[3 * n_p2: 6 * n_p2].reshape(n_p2, 3)
+    rb = jnp.concatenate([rd, rv], axis=1)  # (n_p2, 6)
+    yb = jnp.einsum("kab,kb->ka", pinv, rb)
+    yd = yb[:, :3].reshape(-1)
+    yv = yb[:, 3:].reshape(-1)
+    return jnp.concatenate([yd, yv, r[off_p:]])

@@ -37,3 +37,26 @@ def inv3(A, det=None):
         axis=-2,
     )
     return adj / det[..., None, None]
+
+
+def inv6(M):
+    """Inverse of (..., 6, 6) via 2x2 block-Schur elimination with
+    closed-form 3x3 inverses (XLA:TPU has no f64 LU; this stays exact-f64).
+
+    M = [[A, B], [C, D]]; inv = [[A^-1 + A^-1 B S^-1 C A^-1, -A^-1 B S^-1],
+                                 [-S^-1 C A^-1, S^-1]], S = D - C A^-1 B."""
+    A = M[..., :3, :3]
+    B = M[..., :3, 3:]
+    C = M[..., 3:, :3]
+    D = M[..., 3:, 3:]
+    Ai = inv3(A)
+    AiB = Ai @ B
+    S = D - C @ AiB
+    Si = inv3(S)
+    CAi = C @ Ai
+    top_left = Ai + AiB @ Si @ CAi
+    top_right = -(AiB @ Si)
+    bot_left = -(Si @ CAi)
+    top = jnp.concatenate([top_left, top_right], axis=-1)
+    bot = jnp.concatenate([bot_left, Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)

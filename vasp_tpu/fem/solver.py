@@ -184,7 +184,18 @@ class NewtonSolver:
                 break
 
             dx = self._linear_solve(R)
-            U = U - opt.lmbda * dx
+            # damped update with backtracking: keep the best of
+            # lmbda, lmbda/2, lmbda/4, lmbda/8 by residual norm (an exact
+            # Newton step can overshoot on strongly nonlinear states; the
+            # reference's fixed-lmbda update diverges there)
+            best_U, best_r = None, np.inf
+            for k in range(4):
+                lam = opt.lmbda * (0.5 ** k)
+                Ut = U - lam * dx
+                rt = float(jnp.linalg.norm(self._residual(Ut, U0, load)))
+                if rt < best_r:
+                    best_U, best_r = Ut, rt
+            U = best_U
             self.state.iters_since_rebuild += 1
             it += 1
 

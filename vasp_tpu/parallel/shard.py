@@ -120,9 +120,14 @@ def make_sharded_step(system, bc_mask, options: StepOptions, mesh=None,
 
     red = partial(jax.lax.psum, axis_name=axis_name)
 
+    n_p2 = system.space.n_p2
+    off_p = system.space.off_p
+    red_max = partial(jax.lax.pmax, axis_name=axis_name)
+
     def inner(U0, bcv, load, blocks_local):
         asm = _rebuild_assembler(skeleton, blocks_local, ndof_pad)
-        step = make_step_fn(asm, mask_pad, options, reduce_fn=red)
+        step = make_step_fn(asm, mask_pad, options, layout=(n_p2, off_p),
+                            reduce_fn=red, reduce_max_fn=red_max)
         U, stats = step(U0, bcv, load)
         return U, stats
 
