@@ -1,0 +1,87 @@
+"""Log plotter: parse a real simulation log and produce the standard figure
+set (reference: tests/test_log_plotter.py compares PNGs; we assert parsing
+fidelity and figure/pickle production)."""
+import numpy as np
+
+from vasp_tpu.postprocessing.log_plotter import (
+    compute_tke,
+    parse_log_file,
+    plot_all,
+    plot_compare_cycles,
+)
+
+
+def test_parse_and_plot_real_log(cylinder_run, tmp_path):
+    ns, log, folder = cylinder_run
+    log_file = tmp_path / "run.log"
+    log_file.write_text(log)
+    data = parse_log_file(log_file)
+    assert len(data["time_step"]) == 3
+    assert np.allclose(data["time"], [0.001, 0.002, 0.003])
+    assert len(data["flow_properties"]["flow_rate"]) == 3
+    assert len(data["newton_iteration"]["atol"]) >= 3
+    assert np.all(np.isfinite(data["flow_properties"]["velocity_max"]))
+
+    figs = plot_all(data, tmp_path / "Images", period=0.002)
+    names = {f.name for f in figs}
+    for expected in ("cpu_time.png", "flow_rate.png", "velocity.png",
+                     "cfl.png", "reynolds_numbers.png",
+                     "newton_iteration_(atol).png",
+                     "newton_iteration_(rtol).png"):
+        assert expected in names, expected
+    assert (tmp_path / "Images" / "probe_points.pickle").exists()
+
+
+def test_parse_synthetic_probe_log(tmp_path):
+    """Probe/displacement/pressure/jacobian lines (formats from
+    reference log_plotter regexes)."""
+    lines = []
+    for step in range(1, 5):
+        t = step * 0.001
+        lines += [
+            f"ramp_factor = {0.5 * step} m^3/s",
+            "Instantaneous normal stress prescribed at the FSI interface "
+            f"{1000.0 * step} Pa",
+            f"Probe Point 0: Velocity: ({0.1*step}, {0.0}, {0.0}) | "
+            f"Pressure: {100.0*step}",
+            f"Probe Point 0: Displacement: ({1e-6*step}, {0.0}, {0.0})",
+            f"Minimum Jacobian: {1.0 - 0.01*step}",
+            "Flow Properties:",
+            f"  Flow Rate at Inlet: {1e-6*step}",
+            f"  Velocity (mean, min, max): {0.1*step}, {0.01*step}, {0.2*step}",
+            f"  CFL (mean, min, max): {0.1}, {0.01}, {0.2}",
+            f"  Reynolds Numbers (mean, min, max): {10.0}, {1.0}, {20.0}",
+            f"Solved for timestep {step}, t = {t:.4f} in 1.0 s",
+        ]
+    log_file = tmp_path / "synthetic.log"
+    log_file.write_text("\n".join(lines) + "\n")
+    data = parse_log_file(log_file)
+    assert len(data["ramp_factor"]) == 4
+    assert len(data["pressure"]) == 4
+    assert np.allclose(data["probe_points"][0]["pressure"],
+                       [100, 200, 300, 400])
+    assert np.allclose(
+        data["probe_points_displacement"][0]["displacement_magnitude"],
+        [1e-6, 2e-6, 3e-6, 4e-6],
+    )
+    assert len(data["min_jacobian"]) == 4
+    figs = plot_all(data, tmp_path / "Images", period=0.002)
+    assert (tmp_path / "Images" / "probe_points.png").exists()
+    assert (tmp_path / "Images" / "probe_points_tke.png").exists()
+    figs2 = plot_compare_cycles(data, tmp_path / "Images", period=0.002)
+    assert len(figs2) >= 1
+
+
+def test_tke_phase_average():
+    """TKE of a perfectly periodic signal is zero; added noise raises it."""
+    period, dt = 0.1, 0.001
+    t = np.arange(0, 1.0, dt)
+    v = np.stack([np.sin(2 * np.pi * t / period), np.zeros_like(t),
+                  np.zeros_like(t)], axis=1)
+    phase_t, tke = compute_tke(v, t, period)
+    assert tke is not None
+    assert np.abs(tke).max() < 1e-20
+    rng = np.random.default_rng(0)
+    v_noisy = v + 0.1 * rng.standard_normal(v.shape)
+    _, tke2 = compute_tke(v_noisy, t, period)
+    assert tke2.mean() > 1e-4

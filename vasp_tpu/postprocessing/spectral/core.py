@@ -36,6 +36,8 @@ def get_psd(data, fs, scaling="density", window="blackmanharris"):
     data = np.atleast_2d(np.asarray(data))
     n, T = data.shape
     w = get_window(window, T)
+    # scipy.periodogram detrends (constant) by default
+    data = data - data.mean(axis=1, keepdims=True)
     xw = jnp.asarray(data * w[None, :])
     spec = jnp.fft.rfft(xw, axis=1)
     p = jnp.abs(spec) ** 2
@@ -84,7 +86,7 @@ def get_spectrogram(data, fs, n_window, overlap_frac=0.75,
     p = p.at[:, :, 1:].multiply(2.0)
     if nfft % 2 == 0:
         p = p.at[:, :, -1].multiply(0.5)
-    Pxx = np.asarray(p.mean(axis=0)).T  # (F, B)
+    Pxx = np.array(p.mean(axis=0)).T  # (F, B), writable copy
     freqs = np.fft.rfftfreq(nfft, 1.0 / fs)
     bins = (nperseg / 2 + step * np.arange(nframes)) / fs
     Pxx[Pxx < 0] = 1e-16
@@ -144,7 +146,11 @@ def butter_bandpass(lowcut, highcut, fs, order=5, btype="band"):
 def butter_bandpass_filter(data, lowcut=25.0, highcut=15000.0, fs=2500.0,
                            order=5, btype="band"):
     b, a = butter_bandpass(lowcut, highcut, fs, order=order, btype=btype)
-    return filtfilt(b, a, data, axis=-1)
+    data = np.asarray(data)
+    # clamp the reflection padding for short series (scipy default padlen
+    # 3*max(len(a),len(b)) must stay below the signal length)
+    padlen = min(3 * max(len(a), len(b)), data.shape[-1] - 1)
+    return filtfilt(b, a, data, axis=-1, padlen=max(padlen, 0))
 
 
 def filter_time_data(data, fs, lowcut=25.0, highcut=15000.0, order=6,
