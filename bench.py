@@ -18,6 +18,15 @@ import time
 
 import numpy as np
 
+import os as _os
+import jax as _jax
+
+# persistent XLA compile cache: first compile of the 20k-cell step is
+# minutes (remote TPU compile tunnel); subsequent runs hit the disk cache
+_jax.config.update("jax_compilation_cache_dir",
+                   _os.path.expanduser("~/.cache/jax_vasp"))
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 REFERENCE_SEC_PER_STEP = 7.4
 TARGET_CELLS = 20829
 

@@ -48,9 +48,13 @@ def build_pattern(adj: sp.csr_matrix, ndof: int, n_subdomains: int,
     """Partition the dof graph into contiguous RCM chunks + overlap layers.
 
     adj: symmetric dof adjacency (the Jacobian's sparsity works)."""
+    from vasp_tpu import native
+
     adj = adj.tocsr()
-    perm = reverse_cuthill_mckee(adj, symmetric_mode=False)
-    parts = np.array_split(perm, n_subdomains)
+    perm = native.rcm_order(adj.indptr, adj.indices, ndof)
+    if perm is None:
+        perm = reverse_cuthill_mckee(adj, symmetric_mode=False)
+    parts = np.array_split(np.asarray(perm), n_subdomains)
     owner = np.empty(ndof, np.int64)
     for s, p in enumerate(parts):
         owner[p] = s
@@ -59,9 +63,14 @@ def build_pattern(adj: sp.csr_matrix, ndof: int, n_subdomains: int,
     for s, p in enumerate(parts):
         ext = np.zeros(ndof, bool)
         ext[p] = True
-        for _ in range(overlap):
-            nbr = np.unique(adj[ext].indices)
-            ext[nbr] = True
+        grown = native.expand_overlap(adj.indptr, adj.indices,
+                                      ext.astype(np.uint8), overlap)
+        if grown is not None:
+            ext = grown
+        else:
+            for _ in range(overlap):
+                nbr = np.unique(adj[ext].indices)
+                ext[nbr] = True
         ext_sets.append(np.nonzero(ext)[0])
 
     m = max(len(e) for e in ext_sets)

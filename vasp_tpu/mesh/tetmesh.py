@@ -78,7 +78,21 @@ class TetMesh:
     # ---------------- edges (P2 dofs) ----------------
     @cached_property
     def _edge_data(self):
-        """Unique mesh edges and the (Nc,6) cell->edge map in TET_EDGES order."""
+        """Unique mesh edges and the (Nc,6) cell->edge map in TET_EDGES order.
+
+        Edge numbering is CANONICAL (lexicographic by vertex pair) so the
+        refined-mesh/P2 node ids are identical whether the native meshcore
+        library or the numpy fallback built them."""
+        from vasp_tpu import native
+
+        res = native.build_edges(self.cells, self.num_vertices)
+        if res is not None:
+            edges, cell_edges = res
+            order = np.lexsort((edges[:, 1], edges[:, 0]))
+            rank = np.empty(len(order), np.int64)
+            rank[order] = np.arange(len(order))
+            return (edges[order].astype(np.int32),
+                    rank[cell_edges].astype(np.int32))
         c = self.cells.astype(np.int64)
         pairs = np.stack(
             [np.stack([c[:, a], c[:, b]], axis=1) for (a, b) in TET_EDGES], axis=1
@@ -121,6 +135,14 @@ class TetMesh:
         Returns (facet_verts (F,3) sorted rows, cell0 (F,), lfacet0 (F,),
         cell1 (F,), lfacet1 (F,)); cell1 = -1 for exterior facets.
         """
+        from vasp_tpu import native
+
+        res = native.build_facets(self.cells, self.num_vertices)
+        if res is not None:
+            fv, adj = res
+            return (fv.astype(np.int32), adj[:, 0].astype(np.int32),
+                    adj[:, 1].astype(np.int32), adj[:, 2].astype(np.int32),
+                    adj[:, 3].astype(np.int32))
         c = self.cells.astype(np.int64)
         tris = np.stack(
             [np.stack([c[:, a], c[:, b], c[:, d]], axis=1) for (a, b, d) in TET_FACETS],
