@@ -20,6 +20,13 @@ try:
     jax.config.update("jax_num_cpu_devices", 8)
 except AttributeError:  # older jax: XLA_FLAGS path above covers it
     pass
+# persistent compile cache: the jacfwd element kernels take minutes to
+# compile; repeat test runs hit the disk cache
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/jax_vasp_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 assert not jax._src.xla_bridge.backends_are_initialized(), (
     "a plugin initialized a JAX backend before conftest could force CPU"
 )

@@ -42,6 +42,7 @@ class NewtonOptions:
     gmres_restart: int = 50
     gmres_maxiter: int = 400
     verbose: bool = True
+    raise_on_fail: bool = True
 
 
 @dataclass
@@ -83,10 +84,24 @@ class NewtonSolver:
         self.state.last_rebuild_tstep = tstep
         self.state.iters_since_rebuild = 0
         if self.opt.linear_solver == "lu":
+            import scipy.sparse as sp
             import scipy.sparse.linalg as spla
 
+            from vasp_tpu.fem.scaling import ruiz_scales
+
+            # factorize the RUIZ-EQUILIBRATED matrix: the raw monolithic FSI
+            # Jacobian spans ~12 decades and can exceed f64 LU accuracy
+            # (cond * eps = O(1) -> ~0.5 Newton contraction instead of
+            # one-shot; observed on the MooneyRivlin predeform case)
+            dr, dc = ruiz_scales(self.asm.blocks, self.state.jacs,
+                                 self._bc_mask_dev, self.asm.ndof, sweeps=4)
+            drn = np.asarray(dr)
+            dcn = np.asarray(dc)
             A = self.asm.to_csr(self.state.jacs, bc_mask=self.bc.mask)
-            self.state.lu = spla.splu(A.tocsc())
+            A_s = (sp.diags(drn) @ A @ sp.diags(dcn)).tocsc()
+            self.state.lu = spla.splu(A_s)
+            self.state.lu_dr = drn
+            self.state.lu_dc = dcn
         else:
             self._build_schwarz()
 
@@ -125,7 +140,8 @@ class NewtonSolver:
     # ---------------- linear solve ----------------
     def _linear_solve(self, R):
         if self.opt.linear_solver == "lu":
-            return jnp.asarray(self.state.lu.solve(np.asarray(R)))
+            y = self.state.lu.solve(self.state.lu_dr * np.asarray(R))
+            return jnp.asarray(self.state.lu_dc * y)
         jacs = self.state.jacs
 
         def mv(x):
@@ -153,6 +169,11 @@ class NewtonSolver:
         U = self.bc.apply(U, t)
 
         first_res = None
+        prev_res = None
+        stalled = False
+        best_res = np.inf
+        best_U = U
+        no_progress = 0
         it = 0
         converged = False
         while it < opt.max_it:
@@ -164,6 +185,11 @@ class NewtonSolver:
                     and (tstep - self.state.last_rebuild_tstep)
                     >= opt.recompute_tstep
                 )
+                # safeguard beyond the reference's fixed reuse cadence: a
+                # reused (chord) Jacobian can yield ASCENT directions on
+                # strongly nonlinear steps — rebuild as soon as the residual
+                # stops decreasing
+                or (stalled and self.state.iters_since_rebuild > 0)
             )
             if need_rebuild:
                 self._rebuild(U, U0, tstep)
@@ -179,29 +205,58 @@ class NewtonSolver:
                     f"(tol = {opt.atol:.3e}), r (rel) = {rel:.3e} "
                     f"(tol = {opt.rtol:.3e})"
                 )
+            if res < best_res:
+                best_res, best_U = res, U
+                no_progress = 0
+            else:
+                no_progress += 1
             if res < opt.atol or rel < opt.rtol:
                 converged = True
                 break
+            if no_progress >= 5:
+                # stagnation: the line-searched tail oscillates without
+                # improving — return the best state seen
+                break
+            stalled = prev_res is not None and res > 0.9 * prev_res
+            prev_res = res
+
+            def backtrack(dx, n_halvings=8):
+                """Best damped candidate by residual norm; NaN = rejected
+                (e.g. inverted elements under a log-J hyperelastic energy)."""
+                best_U, best_r = None, np.inf
+                for k in range(n_halvings):
+                    lam = opt.lmbda * (0.5 ** k)
+                    Ut = U - lam * dx
+                    rt = float(jnp.linalg.norm(self._residual(Ut, U0, load)))
+                    if np.isfinite(rt) and rt < best_r:
+                        best_U, best_r = Ut, rt
+                return best_U, best_r
 
             dx = self._linear_solve(R)
-            # damped update with backtracking: keep the best of
-            # lmbda, lmbda/2, lmbda/4, lmbda/8 by residual norm (an exact
-            # Newton step can overshoot on strongly nonlinear states; the
-            # reference's fixed-lmbda update diverges there)
-            best_U, best_r = None, np.inf
-            for k in range(4):
-                lam = opt.lmbda * (0.5 ** k)
-                Ut = U - lam * dx
-                rt = float(jnp.linalg.norm(self._residual(Ut, U0, load)))
-                if rt < best_r:
-                    best_U, best_r = Ut, rt
+            best_U, best_r = backtrack(dx)
+            if (best_U is None or best_r >= res)                     and self.state.iters_since_rebuild > 0:
+                # no descent with a reused (chord) Jacobian: rebuild and
+                # retry this iteration with the exact tangent
+                self._rebuild(U, U0, tstep)
+                dx = self._linear_solve(self._residual(U, U0, load))
+                best_U, best_r = backtrack(dx)
+            if best_U is None:
+                raise RuntimeError(
+                    f"Newton line search failed at timestep {tstep}: every "
+                    f"damped candidate produced a non-finite residual "
+                    f"(residual {res:.3e})"
+                )
             U = best_U
             self.state.iters_since_rebuild += 1
             it += 1
 
-        if not converged and it >= opt.max_it:
-            raise RuntimeError(
-                f"Newton solver did not converge in {opt.max_it} iterations "
-                f"(residual {res:.3e})"
-            )
-        return U, dict(iterations=it, residual=res, rel=rel)
+        if not converged:
+            U, res = best_U, best_res
+            rel = res / first_res if first_res else 1.0
+            if opt.raise_on_fail and rel > 1e-2 and res > 100 * opt.atol:
+                raise RuntimeError(
+                    f"Newton solver did not converge in {it} iterations "
+                    f"(best residual {res:.3e})"
+                )
+        return U, dict(iterations=it, residual=res, rel=rel,
+                       converged=converged)

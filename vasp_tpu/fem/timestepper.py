@@ -51,6 +51,8 @@ def _backtrack_update(U, dx, residual_norm_fn, lmbda, n_halvings=4):
         Us.append(Ut)
         rs.append(rk)
     rs = _jnp.stack(rs)
+    # NaN residual (e.g. inverted elements under log-J energies) = rejected
+    rs = _jnp.where(_jnp.isnan(rs), _jnp.inf, rs)
     best = _jnp.argmin(rs)
     Ustack = _jnp.stack(Us)
     return Ustack[best], rs[best]

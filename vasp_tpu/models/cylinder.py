@@ -67,10 +67,10 @@ def get_mesh_domain_and_boundaries(mesh_path, **namespace):
     print("Obtaining mesh, domains and boundaries...")
     if mesh_path and Path(mesh_path).exists():
         return read_vasp_mesh(mesh_path)
-    return fsi_tube_mesh(
-        r_inner=0.001, r_outer=0.0013, length=0.006,
-        n_theta=12, n_r_fluid=2, n_r_solid=1, n_z=8,
-    )
+    params = dict(r_inner=0.001, r_outer=0.0013, length=0.006,
+                  n_theta=12, n_r_fluid=2, n_r_solid=1, n_z=8)
+    params.update(namespace.get("generated_mesh_params") or {})
+    return fsi_tube_mesh(**params)
 
 
 class InnerP:

@@ -85,10 +85,10 @@ def get_mesh_domain_and_boundaries(mesh_path, fsi_region, fsi_id, rigid_id,
     if mesh_path and Path(mesh_path).exists():
         mesh = read_vasp_mesh(mesh_path)
     else:
-        mesh = fsi_tube_mesh(
-            r_inner=0.001, r_outer=0.0013, length=0.006,
-            n_theta=12, n_r_fluid=2, n_r_solid=1, n_z=8,
-        )
+        params = dict(r_inner=0.001, r_outer=0.0013, length=0.006,
+                      n_theta=12, n_r_fluid=2, n_r_solid=1, n_z=8)
+        params.update(namespace.get("generated_mesh_params") or {})
+        mesh = fsi_tube_mesh(**params)
         # center the default tube on the origin so the default fsi sphere
         # (centered at 0) covers its middle
         mesh = type(mesh)(

@@ -74,6 +74,7 @@ def default_variables():
         restart_folder=None,
         killtime=None,
         # misc
+        generated_mesh_params=None,
         fsi_id=22,
         inlet_id=2,
         rigid_id=11,

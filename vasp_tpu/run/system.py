@@ -219,6 +219,7 @@ class FSISystem:
                 cfg.get("linear_solver", "lu"), cfg.get("linear_solver", "lu")
             ),
             verbose=bool(cfg.get("verbose", True)),
+            raise_on_fail=bool(cfg.get("raise_on_fail", True)),
         )
         for k, v in opts.items():
             setattr(options, k, v)
