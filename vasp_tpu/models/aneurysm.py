@@ -79,6 +79,8 @@ def get_mesh_domain_and_boundaries(mesh_path, **namespace):
     if mesh_path and Path(mesh_path).exists():
         return read_vasp_mesh(mesh_path)
     # self-contained default: tube with a saccular bulge (aneurysm-like)
+    params = dict(n_theta=12, n_r_fluid=2, n_r_solid=1, n_z=14)
+    params.update(namespace.get("generated_mesh_params") or {})
     length, r = 0.01, 0.0015
 
     def scale(z):
@@ -89,8 +91,7 @@ def get_mesh_domain_and_boundaries(mesh_path, **namespace):
 
     return fsi_tube_mesh(
         r_inner=r, r_outer=1.25 * r, length=length,
-        n_theta=12, n_r_fluid=2, n_r_solid=1, n_z=14,
-        radius_profile=scale,
+        radius_profile=scale, **params,
     )
 
 

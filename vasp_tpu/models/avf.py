@@ -93,10 +93,10 @@ def get_mesh_domain_and_boundaries(mesh_path, fsi_region, fsi_id, rigid_id,
         return restrict_fsi_to_sphere(mesh, fsi_id, outer_id, rigid_id,
                                       fsi_region)
     # self-contained default: a single tube re-marked into artery/vein halves
-    mesh = fsi_tube_mesh(
-        r_inner=0.002, r_outer=0.0026, length=0.02,
-        n_theta=10, n_r_fluid=2, n_r_solid=1, n_z=12,
-    )
+    params = dict(r_inner=0.002, r_outer=0.0026, length=0.02,
+                  n_theta=10, n_r_fluid=2, n_r_solid=1, n_z=12)
+    params.update(namespace.get("generated_mesh_params") or {})
+    mesh = fsi_tube_mesh(**params)
     # vein half: second axial half gets 1002/1022/1033/1011 ids
     zmid = mesh.coords[:, 2].max() / 2
     from vasp_tpu.mesh.markers import remark_cells, _with_markers

@@ -78,7 +78,7 @@ def set_problem_parameters(default_variables, **namespace):
     return default_variables
 
 
-def _default_stenosis_mesh():
+def _default_stenosis_mesh(n_theta=12, n_r_fluid=2, n_r_solid=1, n_z=20):
     """Self-contained offset-stenosis geometry: 50%-narrowed, laterally
     offset throat at mid-length (the reference ships a pre-built mesh)."""
     length = 0.04
@@ -99,7 +99,7 @@ def _default_stenosis_mesh():
 
     return fsi_tube_mesh(
         r_inner=r, r_outer=1.3 * r, length=length,
-        n_theta=12, n_r_fluid=2, n_r_solid=1, n_z=20,
+        n_theta=n_theta, n_r_fluid=n_r_fluid, n_r_solid=n_r_solid, n_z=n_z,
         radius_profile=scale, center_offset=offset,
     )
 
@@ -110,7 +110,9 @@ def get_mesh_domain_and_boundaries(mesh_path, fsi_region, dx_f_id, fsi_id,
         mesh = read_vasp_mesh(mesh_path)
         x_min = 0.024
     else:
-        mesh = _default_stenosis_mesh()
+        mesh = _default_stenosis_mesh(
+            **(namespace.get("generated_mesh_params") or {})
+        )
         x_min = 1e9  # generated mesh has no high-viscosity zone by default
 
     # Only consider FSI within the given sphere; facets outside -> rigid

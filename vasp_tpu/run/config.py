@@ -75,6 +75,7 @@ def default_variables():
         killtime=None,
         # misc
         generated_mesh_params=None,
+        profile_dir=None,
         fsi_id=22,
         inlet_id=2,
         rigid_id=11,

@@ -110,6 +110,17 @@ def run_simulation(problem, overrides=None):
     viz = VisualizationOutput(folder, space, save_deg=cfg.get("save_deg", 1))
     ckpt.save_config(folder, cfg)
 
+    # structured observability alongside the reference's stdout contract
+    # (SURVEY.md §5.1 TPU plan: JSONL step metrics + jax.profiler traces)
+    from vasp_tpu.run.metrics import JsonlMetrics
+
+    metrics = JsonlMetrics(folder)
+    profile_dir = cfg.get("profile_dir")
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(str(profile_dir))
+
     dt = float(cfg["dt"])
     T = float(cfg["T"])
     save_step = int(cfg.get("save_step", 1))
@@ -153,12 +164,23 @@ def run_simulation(problem, overrides=None):
         toc = time.time()
         if cfg.get("verbose", True):
             print(f"Solved for timestep {step}, t = {t:.4f} in {toc - tic:.1f} s")
+        metrics.write(
+            tstep=step, t=t, cpu_time=toc - tic,
+            newton_iterations=int(info["iterations"]),
+            residual=float(info["residual"]),
+            converged=bool(info.get("converged", True)),
+        )
         if killtime is not None and (time.time() - t_start_wall) > killtime:
             print("Killtime reached, checkpointing and exiting.")
             ckpt.save_checkpoint(folder, space, U, t, step)
             break
 
     ckpt.save_checkpoint(folder, space, dvp_["n"], t, ns.get("counter", 0))
+    metrics.close()
+    if profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
     _call_hook(mod, "finished", ns)
     return ns
 
