@@ -76,7 +76,7 @@ def main():
 
     # 20,832 cells — matches the reference tutorial's 20,829-cell mesh
     n_theta, n_z = 16, 62
-    mesh, system, bc_set, load = build(n_theta, n_z, quad_degree=4)
+    mesh, system, bc_set, load = build(n_theta, n_z, quad_degree=3)
     ncells = mesh.num_cells
     ndof = system.space.ndof
 
@@ -85,7 +85,7 @@ def main():
     opts = StepOptions(
         atol=1e-6, rtol=1e-6, max_it=4,
         gmres_tol=1e-6, gmres_restart=60, gmres_maxiter=300,
-        jac_chunk=8192, overlap=2,
+        jac_chunk=8192, overlap=2, jac_dtype="f32",
     )
     # production configuration: Ruiz + RAS(2) GMRES Newton, preconditioner
     # rebuilt every 20 steps (the reference's recompute_tstep cadence)

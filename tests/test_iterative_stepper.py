@@ -87,3 +87,23 @@ def test_ras_stepper_reuses_preconditioner(tube_problem):
         1.0, float(info2["r0"])
     ) or float(info2["residual"]) < 1e-9
     assert np.all(np.isfinite(np.asarray(U2)))
+
+
+def test_ras_stepper_f32_jacobian(tube_problem):
+    """The TPU production setting: f32 element-Jacobian matvecs (inexact
+    Newton, f64 residuals) must still converge to the f64 solution."""
+    sys_, bc_set, load = tube_problem
+    U0 = sys_.zero_state()
+    bcv = jnp.asarray(bc_set.values_at(0.001))
+    opts = StepOptions(atol=1e-9, rtol=1e-9, max_it=10, gmres_tol=1e-6,
+                       gmres_restart=60, gmres_maxiter=600, overlap=2,
+                       jac_dtype="f32")
+    stepper = IterativeStepper(sys_, bc_set, opts, recompute_tstep=20)
+    U_it, info = stepper.step(U0, bcv, load, tstep=1)
+    assert float(info["residual"]) < 1e-9
+
+    solver = sys_.make_solver(bc_set)
+    U_lu, _ = solver.solve(bc_set.apply(U0, 0.001), U0, t=0.001, tstep=1,
+                           load=load)
+    a, b = np.asarray(U_lu), np.asarray(U_it)
+    assert np.allclose(a, b, atol=1e-5 * np.abs(a).max())

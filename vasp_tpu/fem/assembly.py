@@ -107,16 +107,26 @@ class Assembler:
             R = R.at[b.dofs.reshape(-1)].add(r.reshape(-1))
         return R
 
-    def element_jacobians(self, U, U0, chunk=None):
-        return [b.jacobian_local(U, U0, chunk=chunk) for b in self.blocks]
+    def element_jacobians(self, U, U0, chunk=None, dtype=None):
+        """Batched element Jacobians; optionally cast to a lower precision
+        (f32 element matvecs run at full MXU speed and are accurate enough
+        for inexact-Newton: residuals stay f64)."""
+        jacs = [b.jacobian_local(U, U0, chunk=chunk) for b in self.blocks]
+        if dtype is not None:
+            jacs = [A.astype(dtype) for A in jacs]
+        return jacs
 
     def matvec(self, jacs, x):
-        """y = J x using cached element Jacobians (batched matmuls)."""
+        """y = J x using cached element Jacobians (batched matmuls). Runs in
+        the Jacobians' dtype and casts back to x.dtype."""
         y = jnp.zeros(self.ndof, dtype=x.dtype)
         for b, A in zip(self.blocks, jacs):
-            xe = x[b.dofs]  # (K,nloc)
-            ye = jnp.einsum("kab,kb->ka", A, xe)
-            y = y.at[b.dofs.reshape(-1)].add(ye.reshape(-1))
+            xe = x[b.dofs].astype(A.dtype)  # (K,nloc)
+            ye = jnp.einsum("kab,kb->ka", A, xe,
+                            preferred_element_type=A.dtype)
+            y = y.at[b.dofs.reshape(-1)].add(
+                ye.reshape(-1).astype(x.dtype)
+            )
         return y
 
     def diagonal(self, jacs):

@@ -68,6 +68,9 @@ class StepOptions:
     gmres_restart: int = 60
     gmres_maxiter: int = 300
     jac_chunk: Optional[int] = None
+    # "f32" runs the Krylov matvecs on f32 element matrices (full-speed MXU;
+    # inexact Newton with f64 residuals) — the TPU production setting
+    jac_dtype: Optional[str] = None
     ruiz_sweeps: int = 4
     # RAS
     n_subdomains: Optional[int] = None  # default: ~1500 dofs per subdomain
@@ -190,6 +193,8 @@ class IterativeStepper:
                                  self.ndof, sweeps=opt.ruiz_sweeps)
             return jacs, dr, dc
 
+        self._jdtype = jnp.float32 if opt.jac_dtype == "f32" else None
+
         self._jac_and_ruiz = jac_and_ruiz
         self._newton = None  # built after first pattern (needs apply fn)
 
@@ -220,6 +225,7 @@ class IterativeStepper:
         mask = self.mask
         asm = self.asm
         apply_ras = self._apply_ras
+        jdtype = self._jdtype
 
         @jax.jit
         def newton(U0, bcv, load, dr, dc, pinv):
@@ -235,7 +241,8 @@ class IterativeStepper:
             def newton_update(U):
                 # fresh Jacobian each iteration (true Newton); only the RAS
                 # preconditioner is reused across iterations and steps
-                jacs = asm.element_jacobians(U, U0, chunk=opt.jac_chunk)
+                jacs = asm.element_jacobians(U, U0, chunk=opt.jac_chunk,
+                                             dtype=jdtype)
 
                 def matvec(x):
                     t = dc * jnp.where(mask, 0.0, x)
