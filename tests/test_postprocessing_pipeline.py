@@ -127,3 +127,72 @@ def test_config_roundtrip(postproc_chain):
     assert len(fluid_ids) > 0 and len(solid_ids) > 0
     # interface nodes belong to both
     assert len(np.intersect1d(fluid_ids, solid_ids)) > 0
+
+
+def test_stress_strain_pipeline(postproc_chain):
+    """vasp-compute-stress path: Green-Lagrange / Cauchy / max-principal
+    fields + time averages on the solid domain
+    (reference: postprocessing_fenics/compute_stress_strain.py)."""
+    from vasp_tpu.postprocessing.fields.stress_strain import (
+        compute_stress_strain,
+    )
+
+    ns, folder = postproc_chain
+    res = compute_stress_strain(folder)
+    out = folder / "StressStrain"
+    for name in ("TrueStress", "GreenLagrangeStrain", "MaxPrincipalStress",
+                 "MaxPrincipalStrain", "MaxPrincipalStress_avg",
+                 "MaxPrincipalStrain_avg"):
+        assert (out / f"{name}.xdmf").exists(), name
+    assert np.all(np.isfinite(res["mps_avg"]))
+    # the inflating wall is in tension somewhere
+    assert res["mps_avg"].max() > 0
+    # strain magnitudes are small (tiny displacements)
+    assert np.abs(res["mpe_avg"]).max() < 1e-2
+
+
+def test_cli_entry_points(postproc_chain, tmp_path, monkeypatch):
+    """The installed CLI surface drives the same pipeline
+    (reference: pyproject.toml:27-40 console scripts)."""
+    from vasp_tpu import cli
+
+    ns, folder = postproc_chain
+    cli.refine_mesh(["--folder", str(folder)])
+    cli.separate_mesh(["--folder", str(folder)])
+    cli.compute_hemo(["--folder", str(folder)])
+    cli.create_spectrograms_chromagrams(
+        ["--folder", str(folder), "-q", "v", "--n-samples", "40",
+         "--num-windows-per-sec", "1"]
+    )
+    cli.create_spectrum(["--folder", str(folder), "-q", "v",
+                         "--n-samples", "40", "--lowcut", "0"])
+    cli.create_hi_pass_viz(["--folder", str(folder), "-q", "d",
+                            "--lowcut", "100", "--highcut", "450"])
+    assert (folder / "Spectrograms").exists()
+    assert (folder / "Visualization_hi_pass").exists()
+
+
+def test_generate_mesh_cli(tmp_path):
+    """vasp-generate-mesh parametric backend produces the standard artifact
+    set: mesh h5 + info json + probe json (reference: SURVEY.md §3.1)."""
+    from vasp_tpu import cli
+
+    out = tmp_path / "mesh" / "case.h5"
+    cli.generate_mesh(["-o", str(out), "--geometry", "stenosis",
+                       "--n-theta", "8", "--n-z", "8"])
+    assert out.exists()
+    assert out.with_name("case_info.json").exists()
+    assert out.with_name("case_probe_point.json").exists()
+    m = read_vasp_mesh(out)
+    assert set(np.unique(m.cell_markers)) == {1, 2}
+
+    from vasp_tpu.preprocessing.generate_solid_probe import (
+        generate_solid_probe,
+    )
+
+    coords = m.coords
+    box = [coords[:, 0].min(), coords[:, 0].max(),
+           coords[:, 1].min(), coords[:, 1].max(),
+           coords[:, 2].min(), coords[:, 2].max()]
+    probe = generate_solid_probe(out, box, n_probes=10, seed=0)
+    assert probe.exists()

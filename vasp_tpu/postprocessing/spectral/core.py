@@ -208,7 +208,8 @@ def chromagram_from_spectrogram(Pxx, fs, n_fft, n_chroma=24, norm=True):
                                                         keepdims=True),
                                      1e-300)
     elif norm == "sum":
-        chroma = chroma / np.sum(chroma, axis=0, keepdims=True)
+        denom = np.sum(chroma, axis=0, keepdims=True)
+        chroma = chroma / np.where(denom == 0, 1.0, denom)
     return chroma
 
 
