@@ -116,3 +116,33 @@ def test_restart(cylinder_run, tmp_path):
     log2 = buf.getvalue()
     ts = re.findall(r"Solved for timestep (\d+),", log2)
     assert ts[0] == "4"  # continues after step 3
+
+
+def test_restart_same_folder_appends(cylinder_run, tmp_path):
+    """Restarting INTO the same folder appends a new h5 to the series and
+    the XDMF covers both (the reference's restart-split output layout,
+    parsed by output_file_lists, reference: postprocessing_common.py:63-121)."""
+    import shutil
+
+    from vasp_tpu.postprocessing.common import output_file_lists
+
+    ns, log, folder = cylinder_run
+    work = tmp_path / "restart_inplace"
+    shutil.copytree(folder, work)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        run_simulation(
+            "cylinder",
+            overrides=dict(
+                T=0.005, dt=0.001, folder=str(work),
+                restart_folder=str(work), mesh_path=None,
+                quadrature_degree=3, save_deg=2, save_step=1,
+                verbose=False, atol=1e-7, rtol=1e-7,
+            ),
+        )
+    h5s, times, idxs = output_file_lists(work / "Visualization" /
+                                         "velocity.xdmf")
+    assert len(times) == 5  # 3 original + 2 new
+    assert len(set(h5s)) == 2  # split across two files
+    assert (work / "Visualization" / "velocity_r1.h5").exists()
+    assert times == sorted(times)

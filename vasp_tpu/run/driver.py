@@ -107,7 +107,12 @@ def run_simulation(problem, overrides=None):
     solver = system.make_solver(bc_set)
     ns.update(bc_set=bc_set, solver=solver)
 
-    viz = VisualizationOutput(folder, space, save_deg=cfg.get("save_deg", 1))
+    is_restart = bool(cfg.get("restart_folder")
+                      and cfg["restart_folder"] not in (None, "None")
+                      and Path(cfg["restart_folder"]).resolve()
+                      == folder.resolve())
+    viz = VisualizationOutput(folder, space, save_deg=cfg.get("save_deg", 1),
+                              restart=is_restart)
     ckpt.save_config(folder, cfg)
 
     # structured observability alongside the reference's stdout contract

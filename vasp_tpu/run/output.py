@@ -37,19 +37,33 @@ class VizWriter:
     """One field's time-series writer (velocity / displacement / pressure)."""
 
     def __init__(self, folder, name, coords, cells, vector=True,
-                 cell_type="Tetrahedron"):
+                 cell_type="Tetrahedron", restart=False):
         self.folder = Path(folder)
         self.folder.mkdir(parents=True, exist_ok=True)
         self.name = name
-        self.h5_path = self.folder / f"{name}.h5"
         self.xdmf_path = self.folder / f"{name}.xdmf"
         self.vector = vector
         self.cell_type = cell_type
         self.nodes_per_elem = {"Tetrahedron": 4, "Triangle": 3}[cell_type]
         self.count = 0
-        self.entries = []
         self.n_nodes = len(coords)
         self.n_cells = len(cells)
+        # restart semantics (reference: restarted runs append a NEW h5 to
+        # the series, postprocessing_common.py:63-121 parses multi-file
+        # series): keep prior entries, write new data into <name>_r<k>.h5
+        self.prior_entries = []  # (t, index, h5name)
+        h5_name = f"{name}.h5"
+        if restart and self.xdmf_path.exists():
+            from vasp_tpu.postprocessing.common import output_file_lists
+
+            h5s, times, idxs = output_file_lists(self.xdmf_path)
+            self.prior_entries = list(zip(times, idxs, h5s))
+            k = 1
+            while (self.folder / f"{name}_r{k}.h5").exists():
+                k += 1
+            h5_name = f"{name}_r{k}.h5"
+        self.h5_path = self.folder / h5_name
+        self.entries = []  # (t, index) into self.h5_path
         with h5py.File(self.h5_path, "w") as f:
             g = f.create_group("Mesh/0/mesh")
             g.create_dataset("geometry", data=np.asarray(coords, np.float64))
@@ -68,7 +82,6 @@ class VizWriter:
 
     def _write_xdmf(self):
         nn, nc = self.n_nodes, self.n_cells
-        h5 = self.h5_path.name
         parts = [_XDMF_HEADER.format(name=self.name)]
         if self.vector:
             attr = f'AttributeType="Vector"'
@@ -76,7 +89,10 @@ class VizWriter:
         else:
             attr = f'AttributeType="Scalar"'
             dims = f"{nn}"
-        for t, i in self.entries:
+        all_entries = [(t, i, h5name) for (t, i, h5name) in
+                       self.prior_entries]
+        all_entries += [(t, i, self.h5_path.name) for (t, i) in self.entries]
+        for t, i, h5 in all_entries:
             parts.append(
                 f"""      <Grid Name="mesh" GridType="Uniform">
         <Topology NumberOfElements="{nc}" TopologyType="{self.cell_type}" NodesPerElement="{self.nodes_per_elem}">
@@ -99,7 +115,7 @@ class VisualizationOutput:
     """Writes d/v/p each save_step in the reference folder layout:
     <folder>/Visualization/{velocity,displacement,pressure}.{h5,xdmf}."""
 
-    def __init__(self, folder, space, save_deg=2):
+    def __init__(self, folder, space, save_deg=2, restart=False):
         self.space = space
         self.save_deg = int(save_deg)
         viz = Path(folder) / "Visualization"
@@ -112,10 +128,12 @@ class VisualizationOutput:
             coords, cells = mesh.coords, mesh.cells
             self.refined = None
         self.writers = {
-            "velocity": VizWriter(viz, "velocity", coords, cells, vector=True),
+            "velocity": VizWriter(viz, "velocity", coords, cells,
+                                  vector=True, restart=restart),
             "displacement": VizWriter(viz, "displacement", coords, cells,
-                                      vector=True),
-            "pressure": VizWriter(viz, "pressure", coords, cells, vector=False),
+                                      vector=True, restart=restart),
+            "pressure": VizWriter(viz, "pressure", coords, cells,
+                                  vector=False, restart=restart),
         }
 
     def _p1_to_refined(self, p):
