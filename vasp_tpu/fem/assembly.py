@@ -93,6 +93,36 @@ class FacetBlock:
         return chunked_vmap(jac, [U[self.dofs], self.area2], chunk)
 
 
+def blocks_to_arrays(blocks):
+    """Split blocks into (static skeleton, array pytree). Passing the array
+    pytree as jit ARGUMENTS (instead of closing over it) keeps megabytes of
+    dof/geometry tables out of the HLO constant pool — embedded constants
+    at 20k-cell scale made XLA compiles pathologically slow."""
+    skeleton = []
+    arrays = []
+    for b in blocks:
+        if isinstance(b, CellBlock):
+            skeleton.append(("cell", b.name, b.kernel))
+            arrays.append(dict(dofs=b.dofs, Jinv=b.Jinv, detJ=b.detJ,
+                               vol=b.vol))
+        else:
+            skeleton.append(("facet", b.name, b.kernel))
+            arrays.append(dict(dofs=b.dofs, area2=b.area2))
+    return skeleton, arrays
+
+
+def arrays_to_blocks(skeleton, arrays):
+    blocks = []
+    for (kind, name, kernel), data in zip(skeleton, arrays):
+        if kind == "cell":
+            blocks.append(CellBlock(name, kernel, data["dofs"], data["Jinv"],
+                                    data["detJ"], data["vol"]))
+        else:
+            blocks.append(FacetBlock(name, kernel, data["dofs"],
+                                     data["area2"]))
+    return blocks
+
+
 class Assembler:
     """Residual / element-Jacobian / matvec over a list of blocks."""
 

@@ -43,18 +43,53 @@ class RASPattern:
         return self.idx.shape[1]
 
 
-def build_pattern(adj: sp.csr_matrix, ndof: int, n_subdomains: int,
-                  overlap: int = 2) -> RASPattern:
-    """Partition the dof graph into contiguous RCM chunks + overlap layers.
+def spatial_partition(coords: np.ndarray, n_parts: int) -> np.ndarray:
+    """Recursive coordinate bisection: split the longest axis at the
+    (weighted) median until n_parts compact blobs remain.
 
-    adj: symmetric dof adjacency (the Jacobian's sparsity works)."""
+    Compactness matters: RCM-contiguous chunks are SLABS in a banded mesh
+    (e.g. a tube cross-section), so every overlap layer adds a full
+    cross-section (~bandwidth dofs) and the dense local blocks explode
+    (observed: 13k-dof locals from 1.5k-dof bases at 185k dofs). Blobs keep
+    the overlap growth proportional to the blob surface instead."""
+    labels = np.zeros(len(coords), np.int64)
+
+    def rec(ids, k, base):
+        if k == 1:
+            labels[ids] = base
+            return
+        k_left = k // 2
+        c = coords[ids]
+        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        order = np.argsort(c[:, ax], kind="stable")
+        cut = int(round(len(ids) * k_left / k))
+        rec(ids[order[:cut]], k_left, base)
+        rec(ids[order[cut:]], k - k_left, base + k_left)
+
+    rec(np.arange(len(coords)), int(n_parts), 0)
+    return labels
+
+
+def build_pattern(adj: sp.csr_matrix, ndof: int, n_subdomains: int,
+                  overlap: int = 2, coords=None) -> RASPattern:
+    """Partition the dof graph into subdomains + overlap layers.
+
+    adj: symmetric dof adjacency (the Jacobian's sparsity works).
+    coords: optional (ndof, 3) dof coordinates -> compact spatial blobs
+    (recursive bisection). Without coords, falls back to contiguous RCM
+    chunks (fine for small problems, slab-shaped at scale)."""
     from vasp_tpu import native
 
     adj = adj.tocsr()
-    perm = native.rcm_order(adj.indptr, adj.indices, ndof)
-    if perm is None:
-        perm = reverse_cuthill_mckee(adj, symmetric_mode=False)
-    parts = np.array_split(np.asarray(perm), n_subdomains)
+    if coords is not None:
+        labels = spatial_partition(np.asarray(coords), n_subdomains)
+        parts = [np.nonzero(labels == s)[0] for s in range(n_subdomains)]
+        parts = [p for p in parts if len(p)]
+    else:
+        perm = native.rcm_order(adj.indptr, adj.indices, ndof)
+        if perm is None:
+            perm = reverse_cuthill_mckee(adj, symmetric_mode=False)
+        parts = np.array_split(np.asarray(perm), n_subdomains)
     owner = np.empty(ndof, np.int64)
     for s, p in enumerate(parts):
         owner[p] = s
@@ -81,6 +116,33 @@ def build_pattern(adj: sp.csr_matrix, ndof: int, n_subdomains: int,
         idx[s, : len(e)] = e
         own[s, : len(e)] = owner[e] == s
     return RASPattern(idx=idx, own=own, pad_dof=ndof)
+
+
+def build_pattern_auto(adj: sp.csr_matrix, ndof: int, n_subdomains: int,
+                       overlap: int = 2, coords=None,
+                       max_local: int = 2048,
+                       max_elems: float = 6.0e8) -> RASPattern:
+    """build_pattern with a memory/cost budget.
+
+    Dense local inverses cost S*m^2 storage (f32 on a 16 GiB-HBM chip) and
+    S*m^3 host flops at rebuild; if the built pattern exceeds the budget,
+    retry with less overlap, then with more (smaller) subdomains. Mirrors
+    how the reference trusts MUMPS to stay in memory — we have to manage it
+    ourselves."""
+    n_sub = int(n_subdomains)
+    ov = int(overlap)
+    for _ in range(12):
+        pat = build_pattern(adj, ndof, n_sub, overlap=ov, coords=coords)
+        S, m = pat.idx.shape
+        if m <= max_local and S * m * m <= max_elems:
+            return pat
+        if ov > 1:
+            ov -= 1
+        else:
+            n_sub = min(max(2, ndof // 8), int(n_sub * 2))
+        print(f"RAS pattern too large (S={S}, m={m}); retrying with "
+              f"n_subdomains={n_sub}, overlap={ov}")
+    return pat
 
 
 def extract_local_blocks(A_scaled: sp.csr_matrix, pattern: RASPattern,
@@ -119,11 +181,16 @@ def extract_local_blocks(A_scaled: sp.csr_matrix, pattern: RASPattern,
     return out
 
 
-def invert_blocks(local_blocks) -> jnp.ndarray:
+def invert_blocks(local_blocks, dtype=None) -> jnp.ndarray:
     """f64 inversion of the local blocks. Runs on the HOST (numpy): this is
     part of the amortized rebuild step anyway, the blocks can be conditioned
-    ~1e6+ (f32 produced NaNs), and XLA:TPU has no f64 LU."""
-    return jnp.asarray(np.linalg.inv(np.asarray(local_blocks, np.float64)))
+    ~1e6+ (f32 INVERSION produced NaNs — storing/applying the f64-computed
+    inverse in f32 is fine for a preconditioner), and XLA:TPU has no f64
+    LU. dtype controls on-device storage (f32 halves HBM use)."""
+    inv = np.linalg.inv(np.asarray(local_blocks, np.float64))
+    if dtype is not None:
+        inv = inv.astype(dtype)
+    return jnp.asarray(inv)
 
 
 def make_apply(pattern: RASPattern, ndof: int):
@@ -133,8 +200,8 @@ def make_apply(pattern: RASPattern, ndof: int):
 
     def apply(pinv, r):
         rp = jnp.concatenate([r, jnp.zeros(1, r.dtype)])
-        rl = rp[idx]  # (S, m)
-        yl = jnp.einsum("sab,sb->sa", pinv, rl)
+        rl = rp[idx].astype(pinv.dtype)  # (S, m), precond precision
+        yl = jnp.einsum("sab,sb->sa", pinv, rl).astype(r.dtype)
         yl = jnp.where(own, yl, 0.0)
         y = jnp.zeros(ndof + 1, r.dtype)
         y = y.at[idx.reshape(-1)].add(yl.reshape(-1))

@@ -168,6 +168,9 @@ class IterativeStepper:
 
     def __init__(self, system, bc_set, options: StepOptions,
                  recompute_tstep=20):
+        from vasp_tpu.fem.assembly import Assembler, arrays_to_blocks, \
+            blocks_to_arrays
+
         self.asm = system.assembler
         self.space = system.space
         self.opt = options
@@ -186,11 +189,25 @@ class IterativeStepper:
         n_sub = opt.n_subdomains or max(2, self.ndof // 1500)
         self._n_sub = n_sub
 
+        # block tables travel as jit ARGUMENTS, not baked constants (huge
+        # compile-time difference at 20k-cell scale)
+        skeleton, arrays = blocks_to_arrays(self.asm.blocks)
+        self._skeleton = skeleton
+        self._blocks_dev = jax.tree.map(jnp.asarray, arrays)
+        ndof = self.ndof
+
+        def _asm(blocks):
+            return Assembler(ndof, arrays_to_blocks(skeleton, blocks))
+
+        self._asm_of = _asm
+        mask = self.mask
+
         @jax.jit
-        def jac_and_ruiz(U, U0):
-            jacs = self.asm.element_jacobians(U, U0, chunk=opt.jac_chunk)
-            dr, dc = ruiz_scales(self.asm.blocks, jacs, self.mask,
-                                 self.ndof, sweeps=opt.ruiz_sweeps)
+        def jac_and_ruiz(U, U0, blocks):
+            asm = _asm(blocks)
+            jacs = asm.element_jacobians(U, U0, chunk=opt.jac_chunk)
+            dr, dc = ruiz_scales(asm.blocks, jacs, mask, ndof,
+                                 sweeps=opt.ruiz_sweeps)
             return jacs, dr, dc
 
         self._jdtype = jnp.float32 if opt.jac_dtype == "f32" else None
@@ -202,33 +219,44 @@ class IterativeStepper:
     def _rebuild(self, U, U0, tstep):
         import scipy.sparse as sp
 
-        jacs, dr, dc = self._jac_and_ruiz(U, U0)
+        jacs, dr, dc = self._jac_and_ruiz(U, U0, self._blocks_dev)
         self._jacs, self._dr, self._dc = jacs, dr, dc
         # host: scaled CSR + RAS blocks
         A = self.asm.to_csr(jacs, bc_mask=self.mask_np).tocsr()
         drn, dcn = np.asarray(dr), np.asarray(dc)
         A_s = sp.diags(drn) @ A @ sp.diags(dcn)
         if self._pattern is None:
-            self._pattern = ras_mod.build_pattern(
+            self._pattern = ras_mod.build_pattern_auto(
                 (abs(A_s) + abs(A_s.T)).tocsr(), self.ndof, self._n_sub,
-                overlap=self.opt.overlap,
+                overlap=self.opt.overlap, coords=self._dof_coords(),
             )
             self._apply_ras = ras_mod.make_apply(self._pattern, self.ndof)
             self._build_newton()
         blocks = ras_mod.extract_local_blocks(A_s.tocsr(), self._pattern,
                                               self.mask_np)
-        self._pinv = ras_mod.invert_blocks(blocks)
+        self._pinv = ras_mod.invert_blocks(blocks, dtype=self._jdtype)
         self._last_rebuild = tstep
+
+    def _dof_coords(self):
+        """(ndof, 3) coordinates of every mixed dof — d/v components sit at
+        their P2 node, p at its vertex. Used for compact spatial RAS
+        subdomains (keeps all fields at a location in one subdomain, which
+        the saddle-point local solves need)."""
+        sp_ = self.space
+        xy2 = np.asarray(sp_.p2_coords)
+        dv = np.repeat(xy2, 3, axis=0)  # dof = 3*node + comp layout
+        return np.concatenate([dv, dv, xy2[: sp_.n_p1]], axis=0)
 
     def _build_newton(self):
         opt = self.opt
         mask = self.mask
-        asm = self.asm
+        asm_of = self._asm_of
         apply_ras = self._apply_ras
         jdtype = self._jdtype
 
         @jax.jit
-        def newton(U0, bcv, load, dr, dc, pinv):
+        def newton(U0, bcv, load, dr, dc, pinv, blocks):
+            asm = asm_of(blocks)
             U1 = jnp.where(mask, bcv, U0)
 
             def residual_raw(U):
@@ -286,4 +314,39 @@ class IterativeStepper:
             U1 = jnp.where(self.mask, bc_values, U0)
             self._rebuild(U1, U0, tstep)
         return self._newton(U0, bc_values, load, self._dr, self._dc,
-                            self._pinv)
+                            self._pinv, self._blocks_dev)
+
+
+class IterativeNewtonSolver:
+    """Drop-in NewtonSolver replacement driving the TPU-native iterative
+    path (fresh element Jacobians each Newton iteration, Ruiz-equilibrated
+    RAS-preconditioned GMRES, jitted end to end).
+
+    Selected from problem configs via linear_solver in
+    ("gmres", "iterative", "ras") — the Krylov analogue of the reference's
+    `linear_solver` vocabulary (reference: turtleFSI
+    problem/__init__.py default_variables; VaSP configs say "mumps")."""
+
+    def __init__(self, system, bc_set, step_options: StepOptions,
+                 recompute_tstep: int = 20, verbose: bool = True):
+        self.stepper = IterativeStepper(system, bc_set, step_options,
+                                        recompute_tstep=recompute_tstep)
+        self.bc = bc_set
+        self.opt = step_options
+        self.verbose = verbose
+
+    def solve(self, U, U0, t, tstep, load=None):
+        del U  # initial guess is the previous step (reference semantics)
+        if load is None:
+            load = jnp.zeros(self.stepper.ndof)
+        bcv = jnp.asarray(self.bc.values_at(t))
+        U1, stats = self.stepper.step(U0, bcv, load, tstep)
+        it = int(stats["iterations"])
+        res = float(stats["residual"])
+        r0 = float(stats["r0"])
+        rel = res / (r0 if r0 > 0 else 1.0)
+        if self.verbose:
+            print(f"Newton iteration {it}: r (atol) = {res:.3e} "
+                  f"(tol = {self.opt.atol:.3e}), r (rel) = {rel:.3e} "
+                  f"(tol = {self.opt.rtol:.3e})")
+        return U1, dict(iterations=it, residual=res, rel=rel)

@@ -33,7 +33,8 @@ except ImportError:  # pragma: no cover
 
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from vasp_tpu.fem.assembly import Assembler, CellBlock, FacetBlock
+from vasp_tpu.fem.assembly import (Assembler, CellBlock, FacetBlock,
+                                    arrays_to_blocks)
 from vasp_tpu.fem.timestepper import StepOptions, make_step_fn
 
 
@@ -85,15 +86,7 @@ def shard_system_blocks(system, n_shards, pad_dof):
 
 
 def _rebuild_assembler(skeleton, arrays, ndof):
-    blocks = []
-    for (kind, name, kernel), data in zip(skeleton, arrays):
-        if kind == "cell":
-            blocks.append(CellBlock(name, kernel, data["dofs"], data["Jinv"],
-                                    data["detJ"], data["vol"]))
-        else:
-            blocks.append(FacetBlock(name, kernel, data["dofs"],
-                                     data["area2"]))
-    return Assembler(ndof, blocks)
+    return Assembler(ndof, arrays_to_blocks(skeleton, arrays))
 
 
 def make_sharded_step(system, bc_mask, options: StepOptions, mesh=None,

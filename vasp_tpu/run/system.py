@@ -206,6 +206,31 @@ class FSISystem:
 
     def make_solver(self, bc_set, **opts):
         cfg = self.cfg
+        lin = cfg.get("linear_solver", "lu")
+        if lin in ("gmres", "iterative", "ras"):
+            from vasp_tpu.fem.timestepper import (IterativeNewtonSolver,
+                                                  StepOptions)
+
+            sopts = StepOptions(
+                atol=float(cfg.get("atol", 1e-7)),
+                rtol=float(cfg.get("rtol", 1e-7)),
+                max_it=int(cfg.get("max_it", 50)),
+                lmbda=float(cfg.get("lmbda", 1.0)),
+                gmres_tol=float(cfg.get("gmres_tol", 1e-6)),
+                gmres_restart=int(cfg.get("gmres_restart", 60)),
+                gmres_maxiter=int(cfg.get("gmres_maxiter", 300)),
+                jac_chunk=int(cfg.get("jac_chunk", 8192)),
+                overlap=int(cfg.get("ras_overlap", 2)),
+                jac_dtype=str(cfg.get("jac_dtype", "f32")),
+            )
+            for k, v in opts.items():
+                if hasattr(sopts, k):
+                    setattr(sopts, k, v)
+            return IterativeNewtonSolver(
+                self, bc_set, sopts,
+                recompute_tstep=int(cfg.get("recompute_tstep", 20)),
+                verbose=bool(cfg.get("verbose", True)),
+            )
         options = NewtonOptions(
             atol=float(cfg.get("atol", 1e-7)),
             rtol=float(cfg.get("rtol", 1e-7)),
