@@ -1,0 +1,132 @@
+"""Block-tridiagonal direct preconditioner (fem/banded.py).
+
+The banded factorization must act as an f32-grade DIRECT solve of the
+Ruiz-scaled Jacobian: ||A M r - r|| / ||r|| small, and GMRES converging in
+O(10) iterations — that is what replaces the reference's MUMPS
+factorization (reference: src/vasp/simulations/offset_stenosis.py:44)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vasp_tpu.fem import banded as banded_mod
+from vasp_tpu.fem.scaling import ruiz_scales, scale_element_jacobians
+
+
+@pytest.fixture(scope="module")
+def small_fsi():
+    from vasp_tpu.fem.dirichlet import DirichletBC
+    from vasp_tpu.mesh.generate import fsi_tube_mesh
+    from vasp_tpu.run.system import FSISystem
+
+    mesh = fsi_tube_mesh(r_inner=0.0015, r_outer=0.002, length=0.008,
+                         n_theta=8, n_r_fluid=2, n_r_solid=1, n_z=5)
+    E, nu = 1e6, 0.45
+    mu_s = E / (2 * (1 + nu))
+    lam_s = nu * 2 * mu_s / (1 - 2 * nu)
+    cfg = dict(dt=0.001, theta=0.501, rho_f=1.0e3, mu_f=3.5e-3, dx_f_id=1,
+               rho_s=1e3, mu_s=mu_s, lambda_s=lam_s, dx_s_id=2,
+               material_model="StVenantKirchoff", extrapolation="laplace",
+               extrapolation_sub_type="constant", quadrature_degree=2)
+    system = FSISystem(mesh, cfg)
+    space = system.space
+    bcs = []
+    for marker in (2, 3, 11):
+        bcs.append(DirichletBC(
+            space.field_dofs("d", space.p2_dofs_on_facets(marker)), 0.0))
+    for marker in (2, 11):
+        bcs.append(DirichletBC(
+            space.field_dofs("v", space.p2_dofs_on_facets(marker)), 0.0))
+    bc_set = system.make_bcset(bcs)
+    return system, bc_set
+
+
+def test_banded_is_direct_solve(small_fsi):
+    """M must invert the scaled Jacobian to f32 accuracy."""
+    system, bc_set = small_fsi
+    asm = system.assembler
+    mask_np = np.asarray(bc_set.mask)
+    mask = jnp.asarray(mask_np)
+    U0 = system.zero_state()
+    load = 100.0 * jnp.asarray(system.interface_pressure_load())
+    U1 = jnp.where(mask, jnp.asarray(bc_set.values_at(0.001)), U0)
+
+    jacs = asm.element_jacobians(U1, U0, dtype=jnp.float32)
+    dr, dc = ruiz_scales(asm.blocks, jacs, mask, asm.ndof, sweeps=4)
+    jf = scale_element_jacobians(asm.blocks, jacs, dr, dc)
+
+    pat = banded_mod.build_banded_pattern(
+        [np.asarray(b.dofs) for b in asm.blocks], asm.ndof)
+    assert pat.nb >= 2  # actually exercises the off-diagonal recursion
+    diag_flat = jnp.asarray(banded_mod.identity_diag_slots(pat, mask_np))
+    Cm, Dm, Bm = banded_mod.assemble_banded(
+        asm.blocks, jf, pat, mask, jnp.asarray(pat.iperm), diag_flat)
+    Sinv, H, G = banded_mod.factorize_banded(Cm, Dm, Bm)
+    apply = banded_mod.make_banded_apply(pat)
+
+    # forward-error quality vs an f64 direct solve (NOT the composed
+    # residual ||A M r - r||/||r||, which amplifies solution error by
+    # cond(A_s) ~ 4e6 and fails even for an exact f32 solve)
+    import scipy.sparse.linalg as spla
+
+    r = np.where(np.asarray(mask_np), 0.0,
+                 np.random.default_rng(1).standard_normal(asm.ndof))
+    z = np.asarray(apply(Sinv, H, G, jnp.asarray(r)))
+    A_s = asm.to_csr([np.asarray(j, np.float64) for j in jf],
+                     bc_mask=mask_np).tocsc()
+    x_ref = spla.splu(A_s).solve(r)
+    rel = np.linalg.norm(z - x_ref) / np.linalg.norm(x_ref)
+    assert rel < 0.1, rel
+
+
+def test_banded_gmres_converges(small_fsi):
+    """GMRES with the banded M converges (O(10) iters at production
+    sizes; this tiny coarse mesh has worse-conditioned Schur blocks
+    and needs ~2-3 restart cycles)."""
+    from vasp_tpu.fem.krylov import gmres
+
+    system, bc_set = small_fsi
+    asm = system.assembler
+    mask_np = np.asarray(bc_set.mask)
+    mask = jnp.asarray(mask_np)
+    U0 = system.zero_state()
+    U1 = jnp.where(mask, jnp.asarray(bc_set.values_at(0.001)), U0)
+
+    jacs = asm.element_jacobians(U1, U0, dtype=jnp.float32)
+    dr, dc = ruiz_scales(asm.blocks, jacs, mask, asm.ndof, sweeps=4)
+    jf = scale_element_jacobians(asm.blocks, jacs, dr, dc)
+    pat = banded_mod.build_banded_pattern(
+        [np.asarray(b.dofs) for b in asm.blocks], asm.ndof)
+    diag_flat = jnp.asarray(banded_mod.identity_diag_slots(pat, mask_np))
+    Cm, Dm, Bm = banded_mod.assemble_banded(
+        asm.blocks, jf, pat, mask, jnp.asarray(pat.iperm), diag_flat)
+    Sinv, H, G = banded_mod.factorize_banded(Cm, Dm, Bm)
+    apply = banded_mod.make_banded_apply(pat)
+
+    b = jnp.where(mask, 0.0, 1.0 + jnp.arange(asm.ndof) % 7 / 7.0)
+
+    def matvec(x):
+        y = asm.matvec(jf, jnp.where(mask, 0.0, x))
+        return jnp.where(mask, x, y)
+
+    x, rnorm = gmres(matvec, b, M=lambda r: apply(Sinv, H, G, r),
+                     restart=30, cycles=3, tol=1e-10)
+    rel = float(jnp.linalg.norm(matvec(x) - b) / jnp.linalg.norm(b))
+    assert rel < 1e-6, rel
+
+
+def test_stepper_banded_runs(small_fsi):
+    """IterativeStepper with precond='banded' converges a loaded step."""
+    from vasp_tpu.fem.timestepper import IterativeStepper, StepOptions
+
+    system, bc_set = small_fsi
+    opts = StepOptions(atol=1e-8, rtol=1e-8, max_it=6, gmres_tol=1e-8,
+                       gmres_restart=40, gmres_maxiter=80,
+                       jac_dtype="f32", precond="banded")
+    stepper = IterativeStepper(system, bc_set, opts, recompute_tstep=5)
+    load = 150.0 * jnp.asarray(system.interface_pressure_load())
+    U = system.zero_state()
+    bcv = jnp.asarray(bc_set.values_at(0.001))
+    U1, stats = stepper.step(U, bcv, load, 1)
+    assert bool(jnp.all(jnp.isfinite(U1)))
+    assert float(stats["residual"]) < 1e-7 * float(stats["r0"]) + 1e-8

@@ -1,0 +1,221 @@
+"""Block-tridiagonal (RCM-banded) direct preconditioner — the TPU-native
+answer to the reference's MUMPS direct solve at scale
+(reference: src/vasp/simulations/offset_stenosis.py:44 `linear_solver="mumps"`).
+
+Why this shape: the Ruiz-equilibrated FSI Jacobian under RCM ordering is
+banded (bandwidth ~ two cross-sections of the vessel, e.g. 5.2k at 185k
+dofs). Partitioning the RCM order into blocks of size c = bandwidth makes
+the matrix EXACTLY block-tridiagonal, so a block-Thomas LU
+
+    S_1 = D_1,   S_k = D_k - C_k S_{k-1}^{-1} B_{k-1}
+
+is a direct factorization whose compute is entirely batched dense matmuls
+and f32 inversions — pure MXU work. Stored as explicit inverses
+(Sinv f32, H = Sinv C and G = Sinv B in bf16), the solve
+
+    w_k = Sinv_k r_k - H_k w_{k-1}      (forward scan)
+    x_k = w_k - G_k x_{k+1}             (backward scan)
+
+is matmuls only: no sparse triangular solves (which do not map to TPU).
+Everything — banded assembly from element Jacobians, factorization, apply —
+runs on device; a rebuild ships NO matrix data over the host link.
+
+Contrast with the dense-RAS path (fem/ras.py): RAS with graph overlap
+needs S*m^2 >= 4.6e9 f32 elements at 185k dofs (does not fit 16 GiB HBM),
+and overlap-free variants diverge on the saddle-point system (measured).
+The banded factorization stores ~nb*c^2*(4+2+2) bytes ~= 8 GiB at the same
+size and is an exact inverse of the frozen Jacobian, so GMRES converges in
+a handful of iterations.
+"""
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class BandedPattern:
+    """Static ordering data (depends on mesh/dofmap only)."""
+
+    perm: np.ndarray  # (ndof,) permuted position q holds original dof perm[q]
+    iperm: np.ndarray  # (ndof,) original dof i sits at permuted position
+    c: int  # block size == RCM bandwidth (padded)
+    nb: int  # number of blocks
+    ndof: int
+
+    @property
+    def npad(self):
+        return self.nb * self.c
+
+
+def build_banded_pattern(block_dofs, ndof, lane_multiple=8):
+    """RCM-order the dof graph and size blocks to its bandwidth.
+
+    block_dofs: list of (K, nloc) global dof arrays (one per assembler
+    block) — the graph is the union of their pairwise couplings."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    from vasp_tpu import native
+
+    rows, cols = [], []
+    for dofs in block_dofs:
+        dofs = np.asarray(dofs)
+        K, nloc = dofs.shape
+        rows.append(np.repeat(dofs, nloc, axis=1).reshape(-1))
+        cols.append(np.tile(dofs, (1, nloc)).reshape(-1))
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    adj = sp.coo_matrix((np.ones(len(rows), np.float32), (rows, cols)),
+                        shape=(ndof, ndof)).tocsr()
+    adj = adj + adj.T
+    perm = native.rcm_order(adj.indptr, adj.indices, ndof)
+    if perm is None:
+        perm = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True))
+    perm = np.asarray(perm, np.int64)
+    iperm = np.empty(ndof, np.int64)
+    iperm[perm] = np.arange(ndof)
+    # bandwidth of the permuted graph
+    pr = iperm[rows]
+    pc = iperm[cols]
+    bw = int(np.abs(pr - pc).max())
+    c = max(1, bw)
+    c += (-c) % lane_multiple  # keep the lane dimension tidy
+    nb = max(1, -(-ndof // c))
+    return BandedPattern(perm=perm, iperm=iperm, c=c, nb=nb, ndof=ndof)
+
+
+def identity_diag_slots(pattern: BandedPattern, bc_mask_np):
+    """Host-precomputed flat indices (into the D storage) of the diagonal
+    slots that get +1: bc dofs and padding rows."""
+    c = pattern.c
+    q = pattern.iperm[np.nonzero(np.asarray(bc_mask_np))[0]]
+    q = np.concatenate([q, np.arange(pattern.ndof, pattern.npad)])
+    return (q // c) * c * c + (q % c) * c + (q % c)
+
+
+def assemble_banded(blocks, jacs, pattern: BandedPattern, bc_mask,
+                    iperm_dev, diag_flat):
+    """Scatter scaled element Jacobians into block-tridiagonal storage.
+
+    Returns (C, D, B): D (nb,c,c) f32 diagonal blocks with identity on
+    bc/padded rows; C couples block k to k-1, B to k+1 (bf16 — they enter
+    the factorization through f32-accumulated matmuls, so bf16 rounding of
+    the couplings only perturbs the preconditioner at ~0.4%).
+
+    Pure jittable device code: the banded "matrix assembly" is one
+    scatter-add per target — no host CSR, no host<->device matrix traffic.
+    """
+    c, nb, ndof = pattern.c, pattern.nb, pattern.ndof
+    size = nb * c * c
+    assert size < 2 ** 31, "banded storage exceeds int32 indexing"
+    # ALL matrix data accumulates in f32: bf16 matrix values are a ~1e-2
+    # perturbation that the ~1e6-1e9-conditioned Schur recursion amplifies
+    # into a useless preconditioner (measured: rel residual 2e2). Only the
+    # FACTORS (Sinv/H/G) tolerate bf16 — the Newton polish makes them
+    # LU-consistent with the f32 matrix. Index math in int32.
+    D = jnp.zeros(size + 1, jnp.float32)
+    Cm = jnp.zeros(size + 1, jnp.float32)
+    Bm = jnp.zeros(size + 1, jnp.float32)
+    dump = np.int32(size)
+    ip32 = iperm_dev.astype(jnp.int32)
+    c32 = np.int32(c)
+
+    for b, A in zip(blocks, jacs):
+        dofs = b.dofs  # (K, nloc)
+        pi = ip32[dofs]  # (K, nloc) permuted indices, i32
+        ok = ~bc_mask[dofs]  # (K, nloc) non-bc
+        k = pi // c32
+        row = pi % c32
+        # pairwise (K, nloc, nloc): row index from axis 1, col from axis 2
+        o = pi[:, None, :] - (k[:, :, None] - 1) * c32  # col offset [0,3c)
+        t = o // c32  # 0 = C, 1 = D, 2 = B
+        oc = o % c32
+        flat = (k[:, :, None] * c32 + row[:, :, None]) * c32 + oc
+        valid = ok[:, None, :] & ok[:, :, None]
+        vals = A.astype(jnp.float32)
+        fD = jnp.where(valid & (t == 1), flat, dump).reshape(-1)
+        fC = jnp.where(valid & (t == 0), flat, dump).reshape(-1)
+        fB = jnp.where(valid & (t == 2), flat, dump).reshape(-1)
+        v = vals.reshape(-1)
+        D = D.at[fD].add(v)
+        Cm = Cm.at[fC].add(v)
+        Bm = Bm.at[fB].add(v)
+
+    # identity rows: bc dofs + padding slots (host-precomputed)
+    D = D.at[diag_flat].add(1.0)
+
+    D = D[:size].reshape(nb, c, c)
+    Cm = Cm[:size].reshape(nb, c, c)
+    Bm = Bm[:size].reshape(nb, c, c)
+    return Cm, D, Bm
+
+
+def factorize_banded(Cm, D, Bm):
+    """Block-Thomas factorization, all-MXU.
+
+    Two-phase for HBM headroom at 185k dofs (16 GiB chip): the scan
+    consumes f32 (C, D, B), carries the exact f32 G_k for the Schur
+    recursion, and emits Sinv in bf16 (one Newton polish X <- X(2I - S X)
+    makes the f32 inverse LU-consistent before rounding); H = Sinv C and
+    G = Sinv B follow as batched matmuls once D's block of HBM is free.
+    Peak ~13.7 GB at 185k dofs; factors resident afterwards: ~6 GB."""
+    nb, c, _ = D.shape
+    eye2 = 2.0 * jnp.eye(c, dtype=jnp.float32)
+
+    def step(Gprev, CDB):
+        Ck, Dk, Bk = CDB
+        CG = jnp.matmul(Ck, Gprev, preferred_element_type=jnp.float32)
+        S = Dk - CG
+        Si = jnp.linalg.inv(S)
+        Si = Si @ (eye2 - S @ Si)
+        Gk = jnp.matmul(Si, Bk, preferred_element_type=jnp.float32)
+        return Gk, Si.astype(jnp.bfloat16)
+
+    G0 = jnp.zeros((c, c), jnp.float32)
+    _, Sinv = jax.lax.scan(step, G0, (Cm, D, Bm))
+    H = jnp.einsum("kab,kbc->kac", Sinv, Cm,
+                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    G = jnp.einsum("kab,kbc->kac", Sinv, Bm,
+                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    return Sinv, H, G
+
+
+def make_banded_apply(pattern: BandedPattern):
+    """Returns apply(Sinv, H, G, r) -> M r (same dtype as r).
+
+    Two scans of single matvecs — HBM-bandwidth bound (~8 GB read per
+    apply at full size, ~10 ms on v5e)."""
+    c, nb, ndof = pattern.c, pattern.nb, pattern.ndof
+    perm = jnp.asarray(pattern.perm)
+    npad = nb * c
+
+    def apply(Sinv, H, G, r):
+        rp = jnp.zeros(npad, jnp.float32)
+        rp = rp.at[: ndof].set(r[perm].astype(jnp.float32))
+        rb = rp.reshape(nb, c)
+        t = jnp.einsum("kab,kb->ka", Sinv, rb,
+                       preferred_element_type=jnp.float32)
+
+        def fwd(wprev, tH):
+            tk, Hk = tH
+            wk = tk - jnp.matmul(Hk, wprev,
+                                 preferred_element_type=jnp.float32)
+            return wk, wk
+
+        _, w = jax.lax.scan(fwd, jnp.zeros(c, jnp.float32), (t, H))
+
+        def bwd(xnext, wG):
+            wk, Gk = wG
+            xk = wk - jnp.matmul(Gk, xnext,
+                                 preferred_element_type=jnp.float32)
+            return xk, xk
+
+        _, x = jax.lax.scan(bwd, jnp.zeros(c, jnp.float32), (w, G),
+                            reverse=True)
+        x = x.reshape(-1)[:ndof]
+        out = jnp.zeros(ndof, r.dtype)
+        return out.at[perm].set(x.astype(r.dtype))
+
+    return apply

@@ -72,6 +72,10 @@ class StepOptions:
     # inexact Newton with f64 residuals) — the TPU production setting
     jac_dtype: Optional[str] = None
     ruiz_sweeps: int = 4
+    # preconditioner: "banded" (block-tridiagonal direct, fem/banded.py —
+    # the production choice; fits HBM at every size and GMRES converges in
+    # ~20 iters) or "ras" (dense restricted additive Schwarz, small sizes)
+    precond: str = "banded"
     # RAS
     n_subdomains: Optional[int] = None  # default: ~1500 dofs per subdomain
     overlap: int = 2
@@ -215,9 +219,48 @@ class IterativeStepper:
         self._jac_and_ruiz = jac_and_ruiz
         self._newton = None  # built after first pattern (needs apply fn)
 
+        self._precond = opt.precond
+        if self._precond == "banded":
+            from vasp_tpu.fem import banded as banded_mod
+
+            self._bpat = banded_mod.build_banded_pattern(
+                [np.asarray(b.dofs) for b in self.asm.blocks], ndof)
+            iperm_dev = jnp.asarray(self._bpat.iperm)
+            self._apply_banded = banded_mod.make_banded_apply(self._bpat)
+            bpat = self._bpat
+            diag_flat = jnp.asarray(
+                banded_mod.identity_diag_slots(bpat, self.mask_np))
+
+            @jax.jit
+            def rebuild_banded(U, U0, blocks):
+                # everything here feeds the PRECONDITIONER: f32 jacobians
+                # halve peak HBM (the Newton loop recomputes its own)
+                asm = _asm(blocks)
+                jacs = asm.element_jacobians(U, U0, chunk=opt.jac_chunk,
+                                             dtype=jnp.float32)
+                dr, dc = ruiz_scales(asm.blocks, jacs, mask, ndof,
+                                     sweeps=opt.ruiz_sweeps)
+                jf = scale_element_jacobians(asm.blocks, jacs, dr, dc)
+                Cm, Dm, Bm = banded_mod.assemble_banded(
+                    asm.blocks, jf, bpat, mask, iperm_dev, diag_flat)
+                Sinv, H, G = banded_mod.factorize_banded(Cm, Dm, Bm)
+                return (dr.astype(jnp.float64), dc.astype(jnp.float64),
+                        Sinv, H, G)
+
+            self._rebuild_banded = rebuild_banded
+            self._build_newton()
+
     # -------------- setup --------------
     def _rebuild(self, U, U0, tstep):
         import scipy.sparse as sp
+
+        if self._precond == "banded":
+            dr, dc, Sinv, H, G = self._rebuild_banded(U, U0,
+                                                      self._blocks_dev)
+            self._dr, self._dc = dr, dc
+            self._pinv = (Sinv, H, G)
+            self._last_rebuild = tstep
+            return
 
         jacs, dr, dc = self._jac_and_ruiz(U, U0, self._blocks_dev)
         self._jacs, self._dr, self._dc = jacs, dr, dc
@@ -251,8 +294,17 @@ class IterativeStepper:
         opt = self.opt
         mask = self.mask
         asm_of = self._asm_of
-        apply_ras = self._apply_ras
         jdtype = self._jdtype
+        if self._precond == "banded":
+            apply_banded = self._apply_banded
+
+            def precond_fn(pinv, r):
+                return apply_banded(*pinv, r)
+        else:
+            apply_ras = self._apply_ras
+
+            def precond_fn(pinv, r):
+                return apply_ras(pinv, r)
 
         @jax.jit
         def newton(U0, bcv, load, dr, dc, pinv, blocks):
@@ -264,7 +316,7 @@ class IterativeStepper:
                 return jnp.where(mask, 0.0, R)
 
             def precond(r):
-                return apply_ras(pinv, r)
+                return precond_fn(pinv, r)
 
             def newton_update(U):
                 # fresh Jacobian each iteration (true Newton); only the RAS

@@ -222,10 +222,13 @@ class FSISystem:
                 jac_chunk=int(cfg.get("jac_chunk", 8192)),
                 overlap=int(cfg.get("ras_overlap", 2)),
                 jac_dtype=str(cfg.get("jac_dtype", "f32")),
+                precond=str(cfg.get("precond", "banded")),
             )
-            for k, v in opts.items():
-                if hasattr(sopts, k):
-                    setattr(sopts, k, v)
+            import dataclasses as _dc
+            known = {f.name for f in _dc.fields(sopts)}
+            sopts = _dc.replace(sopts,
+                                **{k: v for k, v in opts.items()
+                                   if k in known})
             return IterativeNewtonSolver(
                 self, bc_set, sopts,
                 recompute_tstep=int(cfg.get("recompute_tstep", 20)),
