@@ -109,9 +109,26 @@ def test_banded_gmres_converges(small_fsi):
         y = asm.matvec(jf, jnp.where(mask, 0.0, x))
         return jnp.where(mask, x, y)
 
+    # f32 matvec: the attainable GMRES residual is bounded by matvec
+    # precision x conditioning (~kappa * eps_f32 ~ 1e-1 on this coarse,
+    # badly conditioned fixture) — the production design therefore wraps it
+    # in inexact Newton with f64 residuals (fem/timestepper.py)
     x, rnorm = gmres(matvec, b, M=lambda r: apply(Sinv, H, G, r),
                      restart=30, cycles=3, tol=1e-10)
     rel = float(jnp.linalg.norm(matvec(x) - b) / jnp.linalg.norm(b))
+    assert rel < 5e-2, rel
+
+    # with an f64 matvec the SAME (f32-assembled, bf16-factored) M drives
+    # GMRES to tight tolerance: M quality is not the limiting factor
+    jf64 = [A.astype(jnp.float64) for A in jf]
+
+    def matvec64(x):
+        y = asm.matvec(jf64, jnp.where(mask, 0.0, x))
+        return jnp.where(mask, x, y)
+
+    x, rnorm = gmres(matvec64, b, M=lambda r: apply(Sinv, H, G, r),
+                     restart=30, cycles=3, tol=1e-10)
+    rel = float(jnp.linalg.norm(matvec64(x) - b) / jnp.linalg.norm(b))
     assert rel < 1e-6, rel
 
 

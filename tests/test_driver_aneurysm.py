@@ -53,14 +53,21 @@ def test_aneurysm_smoke(aneurysm_run):
 def test_aneurysm_mean_fields(aneurysm_run):
     """post_solve accumulates means after save_solution_after_tstep and
     finished() writes them (reference aneurysm.py:186-222)."""
+    from vasp_tpu.postprocessing.common import output_file_lists
+
     ns, log, folder = aneurysm_run
     assert ns["mean_count"] == 2  # steps 2 and 3
     viz = folder / "Visualization"
     for name in ("d_mean", "u_mean", "p_mean"):
+        # write_checkpoint layout (reference aneurysm.py:206-222) parsed by
+        # the reference-layout tooling
         path = viz / f"{name}.h5"
         assert path.exists(), name
+        h5s, times, idxs = output_file_lists(viz / f"{name}.xdmf")
+        assert h5s == [f"{name}.h5"] and idxs == [0]
         with h5py.File(path) as f:
-            arr = f[f"{name}/vector_0"][:]
+            arr = f[f"{name}/{name}_0/vector"][:]
             assert np.all(np.isfinite(arr))
+            assert f[f"{name}/{name}_0/cell_dofs"].shape[0] > 0
     with h5py.File(viz / "u_mean.h5") as f:
-        assert np.abs(f["u_mean/vector_0"][:]).max() > 0
+        assert np.abs(f["u_mean/u_mean_0/vector"][:]).max() > 0

@@ -1,0 +1,90 @@
+"""Surface (STL) -> two-domain FSI mesh (VERDICT r1 item #7; reference
+pipeline stage P3, vmtkmeshgeneratorfsi.py:137-426, rebuilt as a structured
+reparameterization — see vasp_tpu/preprocessing/surface_mesh.py)."""
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+TUBE = Path("/root/reference/tests/test_data/tube/tube.stl")
+ARTERY = Path("/root/reference/tests/test_data/artery/artery.stl")
+
+
+@pytest.mark.skipif(not TUBE.exists(), reason="STL fixtures absent")
+@pytest.mark.parametrize("stl", [TUBE, ARTERY], ids=["tube", "artery"])
+def test_surface_fsi_mesh_structure(stl):
+    from vasp_tpu.preprocessing.surface_mesh import surface_fsi_mesh
+
+    m = surface_fsi_mesh(stl, n_z=24, n_theta=12, n_r_fluid=2, n_r_solid=1,
+                         scale_factor=1e-3)
+    # two domains, all five facet classes, reference marker conventions
+    assert set(np.unique(m.cell_markers)) == {1, 2}
+    fm = set(np.unique(m.facet_markers))
+    assert {2, 3, 11, 22, 33}.issubset(fm)
+    # all tets non-degenerate
+    x = m.coords[m.cells]
+    v6 = np.abs(np.linalg.det(np.stack(
+        [x[:, 1] - x[:, 0], x[:, 2] - x[:, 0], x[:, 3] - x[:, 0]], axis=1)))
+    assert v6.min() > 0
+    # every FSI facet is interior and separates fluid from solid
+    fv_i, cp, lp, cm, lm = m.interior_facets(22)
+    assert len(fv_i) > 0
+    assert np.all(m.cell_markers[cp] != m.cell_markers[cm])
+
+
+@pytest.mark.skipif(not TUBE.exists(), reason="STL fixtures absent")
+def test_stl_reader_and_caps():
+    from vasp_tpu.preprocessing.surface_mesh import (boundary_loops,
+                                                     read_stl, remove_caps)
+
+    V, F = read_stl(TUBE)
+    assert len(V) > 100 and len(F) > 500
+    loops0 = boundary_loops(F)
+    F2 = remove_caps(V, F, target_loops=2)
+    loops = boundary_loops(F2)
+    assert len(loops) >= 2
+    assert len(F2) < len(F)
+
+
+@pytest.mark.skipif(os.environ.get("VASP_GOLDEN") != "1" or
+                    not TUBE.exists(),
+                    reason="set VASP_GOLDEN=1 for the solver run")
+def test_surface_mesh_solver_runs():
+    """Done-bar: the solver runs on the STL-derived mesh (VERDICT #7)."""
+    import jax.numpy as jnp
+
+    from vasp_tpu.fem.dirichlet import DirichletBC
+    from vasp_tpu.preprocessing.surface_mesh import surface_fsi_mesh
+    from vasp_tpu.run.system import FSISystem
+
+    mesh = surface_fsi_mesh(TUBE, n_z=16, n_theta=10, n_r_fluid=2,
+                            n_r_solid=1, scale_factor=1e-3)
+    E, nu = 1e6, 0.45
+    mu_s = E / (2 * (1 + nu))
+    lam_s = nu * 2 * mu_s / (1 - 2 * nu)
+    cfg = dict(dt=0.001, theta=0.501, rho_f=1.0e3, mu_f=3.5e-3, dx_f_id=1,
+               rho_s=1e3, mu_s=mu_s, lambda_s=lam_s, dx_s_id=2,
+               material_model="StVenantKirchoff", extrapolation="laplace",
+               extrapolation_sub_type="constant", quadrature_degree=2,
+               atol=1e-7, rtol=1e-7, max_it=10, recompute=1,
+               recompute_tstep=1, linear_solver="lu", verbose=False,
+               raise_on_fail=False)
+    s = FSISystem(mesh, cfg)
+    space = s.space
+    bcs = []
+    for mk in (2, 3, 11):
+        bcs.append(DirichletBC(
+            space.field_dofs("d", space.p2_dofs_on_facets(mk)), 0.0))
+    for mk in (2, 11):
+        bcs.append(DirichletBC(
+            space.field_dofs("v", space.p2_dofs_on_facets(mk)), 0.0))
+    bc = s.make_bcset(bcs)
+    load = 50.0 * jnp.asarray(s.interface_pressure_load())
+    solver = s.make_solver(bc)
+    U0 = s.zero_state()
+    U, info = solver.solve(bc.apply(U0, 0.001), U0, t=0.001, tstep=1,
+                           load=load)
+    assert np.all(np.isfinite(np.asarray(U)))
+    assert float(info["residual"]) < 1e-7 * max(1.0, float(info.get(
+        "rel", 1.0))) or info["converged"]

@@ -105,7 +105,8 @@ def compute_stress(argv=None):
 def _spectral_parser(prog):
     def extra(p):
         p.add_argument("-q", "--quantity", default="v",
-                       choices=["v", "d", "p"])
+                       choices=["v", "d", "p", "wss", "mps", "stress",
+                                "strain"])
         p.add_argument("--start-time", type=float, default=None)
         p.add_argument("--end-time", type=float, default=None)
         p.add_argument("--lowcut", type=float, default=25.0)
@@ -191,7 +192,7 @@ def create_hi_pass_viz(argv=None):
 
     def extra(p):
         p.add_argument("-q", "--quantity", default="d",
-                       choices=["v", "d", "p"])
+                       choices=["v", "d", "p", "strain"])
         p.add_argument("--lowcut", type=float, default=25.0)
         p.add_argument("--highcut", type=float, default=100000.0)
         p.add_argument("--filter-type", default="bandpass")

@@ -182,6 +182,69 @@ def factorize_banded(Cm, D, Bm):
     return Sinv, H, G
 
 
+def factorize_banded_lowmem(Cm, D, Bm):
+    """Schur scan emitting ONLY Sinv (bf16): at ~190k dofs (c=4488, nb=42)
+    the H/G factors of factorize_banded push the rebuild peak to ~14 GB and
+    the chip OOMs; keeping the raw C/B (already resident) and folding the
+    H w = Sinv(C w) / G x = Sinv(B x) products into the apply halves the
+    factor memory at the cost of one extra matmul per scan step."""
+    nb, c, _ = D.shape
+    eye2 = 2.0 * jnp.eye(c, dtype=jnp.float32)
+
+    def step(Gprev, CDB):
+        Ck, Dk, Bk = CDB
+        CG = jnp.matmul(Ck, Gprev, preferred_element_type=jnp.float32)
+        S = Dk - CG
+        Si = jnp.linalg.inv(S)
+        Si = Si @ (eye2 - S @ Si)
+        Gk = jnp.matmul(Si, Bk, preferred_element_type=jnp.float32)
+        return Gk, Si.astype(jnp.bfloat16)
+
+    G0 = jnp.zeros((c, c), jnp.float32)
+    _, Sinv = jax.lax.scan(step, G0, (Cm, D, Bm))
+    return Sinv
+
+
+def make_banded_apply_lowmem(pattern: BandedPattern):
+    """apply(Sinv, C, B, r) -> M r, algebraically identical to
+    make_banded_apply with H = Sinv C and G = Sinv B folded in."""
+    c, nb, ndof = pattern.c, pattern.nb, pattern.ndof
+    perm = jnp.asarray(pattern.perm)
+    npad = nb * c
+
+    def apply(Sinv, Cm, Bm, r):
+        rp = jnp.zeros(npad, jnp.float32)
+        rp = rp.at[: ndof].set(r[perm].astype(jnp.float32))
+        rb = rp.reshape(nb, c)
+
+        def fwd(wprev, rCS):
+            rk, Ck, Sk = rCS
+            wk = jnp.matmul(
+                Sk, rk - jnp.matmul(Ck, wprev,
+                                    preferred_element_type=jnp.float32),
+                preferred_element_type=jnp.float32)
+            return wk, wk
+
+        _, w = jax.lax.scan(fwd, jnp.zeros(c, jnp.float32),
+                            (rb, Cm, Sinv))
+
+        def bwd(xnext, wBS):
+            wk, Bk, Sk = wBS
+            xk = wk - jnp.matmul(
+                Sk, jnp.matmul(Bk, xnext,
+                               preferred_element_type=jnp.float32),
+                preferred_element_type=jnp.float32)
+            return xk, xk
+
+        _, x = jax.lax.scan(bwd, jnp.zeros(c, jnp.float32), (w, Bm, Sinv),
+                            reverse=True)
+        x = x.reshape(-1)[:ndof]
+        out = jnp.zeros(ndof, r.dtype)
+        return out.at[perm].set(x.astype(r.dtype))
+
+    return apply
+
+
 def make_banded_apply(pattern: BandedPattern):
     """Returns apply(Sinv, H, G, r) -> M r (same dtype as r).
 

@@ -49,10 +49,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vasp_tpu.fem.kinematics import S_, I3
+from vasp_tpu.fem.kinematics import S_
 from vasp_tpu.fem.smallmat import det3, inv3
 from vasp_tpu.fem.quadrature import tet_quadrature, tri_quadrature
 from vasp_tpu.fem.shape import p1_tet, p2_tet, p2_tri
+
+
+# constant P1 reference gradients on the tet [1-x-y-z, x, y, z]
+_P1GRAD = np.array([[-1.0, -1.0, -1.0], [1.0, 0.0, 0.0],
+                    [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
 
 
 def _unpack_local(u):
@@ -87,6 +92,7 @@ def make_fluid_kernel(
     lift_sub="constant",
     lift_coeff=1.0,
     quad_degree=6,
+    p_stab=0.0,
 ):
     """Fluid element residual kernel (ALE Navier-Stokes + mesh lifting).
 
@@ -94,10 +100,15 @@ def make_fluid_kernel(
     lift_coeff carries sub_type-dependent global scaling (e.g. 0.01*hmin^2
     for 'small_constant').
     """
-    wq, N1, N2, dN2 = _tabulate(quad_degree)
+    wq0, N10, N20, dN20 = _tabulate(quad_degree)
     th = float(theta)
 
     def kernel(u, u0, Jinv, detJ, vol):
+        # dtype-polymorphic: tabulated constants follow the input dtype so
+        # jacfwd can run natively in f32 (half the temp HBM, full MXU rate)
+        dty = u.dtype
+        wq, N1, N2, dN2 = (wq0.astype(dty), N10.astype(dty),
+                           N20.astype(dty), dN20.astype(dty))
         de, ve, pe = _unpack_local(u)
         d0e, v0e, _ = _unpack_local(u0)
         G2 = dN2 @ Jinv  # (nq,10,3) physical gradients of P2 basis
@@ -113,8 +124,9 @@ def make_fluid_kernel(
         gd, gd0 = grad(de), grad(d0e)
         gv, gv0 = grad(ve), grad(v0e)
 
-        F = I3 + gd
-        F0 = I3 + gd0
+        eye = jnp.eye(3, dtype=dty)
+        F = eye + gd
+        F0 = eye + gd0
         Jd = det3(F)
         J0 = det3(F0)
         Fi = inv3(F, Jd)
@@ -146,23 +158,42 @@ def make_fluid_kernel(
         # ---- continuity ----
         divv = Jd * jnp.einsum("qij,qji->q", gv, Fi)
         rp = jnp.einsum("q,q,qb->b", wq * detJ, divv, N1)
+        if p_stab:
+            # Brezzi-Pitkaranta pressure stabilization:
+            #   rp += (p_stab h^2 / mu_f) int grad p . grad q
+            # Diagnosed on the reference fixture meshes (coarse, 2-3
+            # elements across the lumen, velocity Dirichlet on almost every
+            # boundary): the P2/P1 pair is inf-sup-MARGINAL — sigma_min(J)
+            # ~ 7e-12 with (p,v) near-null saddle modes, so exact Newton
+            # directions carry O(1e3) spurious pressure/velocity components
+            # that the quadratic convection term blows up (the measured
+            # predeform/stenosis slow tails). The stabilization lifts those
+            # modes; consistency error is O(p_stab h^2) in mass balance.
+            dN1c = jnp.asarray(_P1GRAD, dtype=dty)  # (4,3) const gradients
+            G1 = dN1c @ Jinv  # (4,3)
+            gp = pe @ G1  # (3,) grad p (P1 -> constant per cell)
+            h2 = (6.0 * vol) ** (2.0 / 3.0)
+            rp = rp + (p_stab * h2 / mu_f) * vol * (G1 @ gp)
 
         # ---- mesh lifting ----
-        if lift == "laplace":
+        # biharmonic: the element kernel carries the FIRST Laplace
+        # application (also the Ruiz/preconditioner surrogate); the
+        # L M^-1 L - L correction is added globally by fem/biharmonic.py
+        if lift in ("laplace", "biharmonic"):
             if lift_sub == "volume":
                 alpha = lift_coeff / vol
-                a_q = jnp.full(gd.shape[0], alpha)
+                a_q = jnp.full(gd.shape[0], alpha, dtype=dty)
             elif lift_sub == "volume_change":
                 a_q = lift_coeff / Jd
             else:  # constant / small_constant (coeff baked into lift_coeff)
-                a_q = jnp.full(gd.shape[0], lift_coeff)
+                a_q = jnp.full(gd.shape[0], lift_coeff, dtype=dty)
             rd = jnp.einsum("q,qij,qaj->ai", wq * detJ * a_q, gd, G2)
         elif lift == "elastic":
             eps = 0.5 * (gd + jnp.swapaxes(gd, 1, 2))
-            sig = 2.0 * eps + jnp.trace(eps, axis1=1, axis2=2)[:, None, None] * I3
+            sig = 2.0 * eps + jnp.trace(eps, axis1=1, axis2=2)[:, None, None] * eye
             rd = jnp.einsum("q,qij,qaj->ai", wq * detJ * lift_coeff, sig, G2)
         elif lift == "no_extrapolation":
-            rd = jnp.zeros((10, 3))
+            rd = jnp.zeros((10, 3), dtype=dty)
         else:
             raise ValueError(f"unknown extrapolation: {lift}")
 
@@ -176,12 +207,16 @@ def make_solid_kernel(props, dt, theta, gravity=None, quad_degree=6):
 
     props: solid_properties dict with material_model/rho_s/mu_s/lambda_s/C01...
     """
-    wq, N1, N2, dN2 = _tabulate(quad_degree)
+    wq0, N10, N20, dN20 = _tabulate(quad_degree)
     th = float(theta)
     rho_s = float(props["rho_s"])
-    g = jnp.zeros(3) if gravity is None else jnp.asarray(gravity, jnp.float64)
+    g0 = np.zeros(3) if gravity is None else np.asarray(gravity, np.float64)
 
     def kernel(u, u0, Jinv, detJ, vol):
+        dty = u.dtype
+        wq, N1, N2, dN2 = (wq0.astype(dty), N10.astype(dty),
+                           N20.astype(dty), dN20.astype(dty))
+        g = jnp.asarray(g0, dtype=dty)
         de, ve, pe = _unpack_local(u)
         d0e, v0e, _ = _unpack_local(u0)
         G2 = dN2 @ Jinv
@@ -195,7 +230,7 @@ def make_solid_kernel(props, dt, theta, gravity=None, quad_degree=6):
 
         # first Piola-Kirchhoff P = F S at each quadrature point
         def P1K(grad_d):
-            return (I3 + grad_d) @ S_(grad_d, props)
+            return (jnp.eye(3, dtype=dty) + grad_d) @ S_(grad_d, props)
 
         P_n = jax.vmap(P1K)(gd)
         P_o = jax.vmap(P1K)(gd0)
@@ -208,7 +243,7 @@ def make_solid_kernel(props, dt, theta, gravity=None, quad_degree=6):
         kin = rho_s * ((d_q - d0_q) / dt - (th * v_q + (1 - th) * v0_q))
         rd = jnp.einsum("q,qa,qi->ai", wq * detJ, N2, kin)
 
-        rp = jnp.zeros(4)
+        rp = jnp.zeros(4, dtype=dty)
         return _pack_local(rd, rv, rp)
 
     return kernel
@@ -221,12 +256,13 @@ def make_robin_kernel(k_s, c_s, quad_degree=6):
 
     kernel(u (36,) = [d(6x3), v(6x3)], area2 ()) -> (36,)
     area2 = |(x1-x0)x(x2-x0)| (twice the triangle area)."""
-    pts, wq = tri_quadrature(quad_degree)
-    N2t, _ = p2_tri(pts)
-    N2t = jnp.asarray(N2t)
-    wq = jnp.asarray(wq)
+    pts, wq0 = tri_quadrature(quad_degree)
+    N2t0, _ = p2_tri(pts)
 
     def kernel(u, area2):
+        dty = u.dtype
+        N2t = jnp.asarray(N2t0, dtype=dty)
+        wq = jnp.asarray(wq0, dtype=dty)
         d = u[:18].reshape(6, 3)
         v = u[18:36].reshape(6, 3)
         d_q = N2t @ d
@@ -234,7 +270,7 @@ def make_robin_kernel(k_s, c_s, quad_degree=6):
         val = k_s * d_q + c_s * v_q
         # the Robin traction tests the velocity (momentum) equation
         r = jnp.einsum("q,qa,qi->ai", wq * area2, N2t, val)
-        return jnp.concatenate([jnp.zeros(18), r.reshape(-1)])
+        return jnp.concatenate([jnp.zeros(18, dtype=dty), r.reshape(-1)])
 
     return kernel
 

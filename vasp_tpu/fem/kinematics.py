@@ -16,9 +16,15 @@ import jax.numpy as jnp
 I3 = jnp.eye(3)
 
 
+def _eye(dtype):
+    """dtype-matched identity: kernels run in f32 (jacfwd memory/MXU speed)
+    or f64 (residuals); a f64 constant would silently promote everything."""
+    return jnp.eye(3, dtype=dtype)
+
+
 def F_(grad_d):
     """Deformation gradient F = I + grad(d)."""
-    return I3 + grad_d
+    return _eye(grad_d.dtype) + grad_d
 
 
 def J_(grad_d):
@@ -30,7 +36,7 @@ def J_(grad_d):
 def E_(grad_d):
     """Green-Lagrange strain E = (F^T F - I)/2."""
     F = F_(grad_d)
-    return 0.5 * (F.T @ F - I3)
+    return 0.5 * (F.T @ F - _eye(F.dtype))
 
 
 # ---------------- material models ----------------
@@ -49,7 +55,7 @@ def _invariants(C):
 
 def W_st_venant_kirchoff(C, props):
     mu, lam = props["mu_s"], props["lambda_s"]
-    E = 0.5 * (C - I3)
+    E = 0.5 * (C - _eye(C.dtype))
     return 0.5 * lam * jnp.trace(E) ** 2 + mu * jnp.trace(E @ E)
 
 
@@ -111,7 +117,7 @@ def get_eig(T):
     (reference: src/vasp/postprocessing/postprocessing_h5py/postprocessing_h5py_common.py:734-801).
     Safe to vmap/jit; handles near-isotropic tensors."""
     q = jnp.trace(T) / 3.0
-    B = T - q * I3
+    B = T - q * _eye(T.dtype)
     p2 = jnp.sum(B * B) / 2.0  # = tr(B^2)/2 for symmetric B... use full sum
     p = jnp.sqrt(jnp.maximum(p2 / 3.0, 1e-300))
     # r = det(B/p)/2 in [-1,1]

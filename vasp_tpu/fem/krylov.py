@@ -30,23 +30,34 @@ def _identity(x):
 
 
 def gmres(matvec, b, M=None, x0=None, restart=30, cycles=4, tol=1e-5,
-          atol=0.0):
+          atol=0.0, reduce_fn=None):
     """Solve A x = b. Returns (x, info) with info = (true_resnorm, ncycles).
 
     matvec: x -> A x;  M: right preconditioner application r -> M r
     (approximate A^{-1}); restart: Krylov dimension per cycle; cycles: max
-    outer restarts; tol: relative residual target |b - Ax| <= tol*|b|."""
+    outer restarts; tol: relative residual target |b - Ax| <= tol*|b|.
+
+    reduce_fn: cross-shard sum (e.g. lax.psum bound to the mesh axis) for
+    SPMD execution under shard_map where b/x/V rows are dof-sharded — every
+    inner product and Gram-Schmidt projection is locally contracted then
+    reduced; everything else (H, Givens, back-substitution) is replicated
+    scalar work."""
     M = M or _identity
+    red = reduce_fn if reduce_fn is not None else (lambda v: v)
     n = b.shape[0]
     m = restart
     dtype = b.dtype
-    normb = jnp.linalg.norm(b)
+
+    def _norm(v):
+        return jnp.sqrt(red(jnp.dot(v, v)))
+
+    normb = _norm(b)
     target = jnp.maximum(tol * normb, atol)
     x = jnp.zeros_like(b) if x0 is None else x0
 
     def arnoldi_cycle(x):
         r = b - matvec(x)
-        beta = jnp.linalg.norm(r)
+        beta = _norm(r)
         safe_beta = jnp.where(beta > 0, beta, 1.0)
         V = jnp.zeros((m + 1, n), dtype)
         V = V.at[0].set(r / safe_beta)
@@ -55,20 +66,28 @@ def gmres(matvec, b, M=None, x0=None, restart=30, cycles=4, tol=1e-5,
         sn = jnp.zeros(m, dtype)
         g = jnp.zeros(m + 1, dtype).at[0].set(beta)
 
-        def body(j, carry):
-            V, H, cs, sn, g = carry
-            w = matvec(M(V[j]))
-            # modified Gram-Schmidt (masked full-width loop)
-            def mgs(i, wh):
-                w, h = wh
-                active = i <= j
-                hij = jnp.where(active, jnp.dot(V[i], w), 0.0)
-                w = w - hij * V[i]
-                h = h.at[i].set(hij)
-                return (w, h)
+        def arn_cond(carry):
+            # early exit: |g[j]| is the RUNNING residual norm of the
+            # original system (right preconditioning leaves it unchanged) —
+            # without this every cycle burns all `restart` matvecs even
+            # after converging at iteration 5
+            j, V, H, cs, sn, g = carry
+            return (j < m) & (jnp.abs(g[j]) > target)
 
-            w, h = jax.lax.fori_loop(0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype)))
-            hj1 = jnp.linalg.norm(w)
+        def body(carry):
+            j, V, H, cs, sn, g = carry
+            w = matvec(M(V[j]))
+            # batched classical Gram-Schmidt with one reorthogonalization
+            # (CGS2, numerically equivalent to MGS): unfilled V rows are
+            # exactly zero so V @ w projects onto the filled basis only —
+            # two (m+1, n) matmuls replace m+1 SEQUENTIAL masked dots
+            # (the sequential-latency hot spot on TPU)
+            h1 = red(V @ w)
+            w = w - V.T @ h1
+            h2 = red(V @ w)
+            w = w - V.T @ h2
+            h = h1 + h2
+            hj1 = _norm(w)
             h = h.at[j + 1].set(hj1)
             V = V.at[j + 1].set(w / jnp.where(hj1 > 0, hj1, 1.0))
 
@@ -92,19 +111,20 @@ def gmres(matvec, b, M=None, x0=None, restart=30, cycles=4, tol=1e-5,
             gj = g[j]
             g = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
             H = H.at[:, j].set(h[: m + 1])
-            return (V, H, cs, sn, g)
+            return (j + 1, V, H, cs, sn, g)
 
-        V, H, cs, sn, g = jax.lax.fori_loop(0, m, body,
-                                            (V, H, cs, sn, g))
+        _, V, H, cs, sn, g = jax.lax.while_loop(
+            arn_cond, body, (0, V, H, cs, sn, g))
+        # back-substitution below is exact for an early exit at j < m:
+        # untouched H columns are zero, so their |H[i,i]| <= 1e-300 guard
+        # yields y[i] = 0 and they drop out of the update
 
         # back-substitution: H[:m,:m] (upper triangular) y = g[:m]
         def backsub(i_rev, y):
             i = m - 1 - i_rev
-
-            def dot_upper(k, acc):
-                return acc + jnp.where(k > i, H[i, k] * y[k], 0.0)
-
-            s = jax.lax.fori_loop(0, m, dot_upper, jnp.array(0.0, dtype))
+            # y[k] for k <= i is still 0, so a full row dot equals the
+            # strict-upper sum (one vectorized dot, not m scalar ops)
+            s = jnp.dot(H[i, :m], y)
             hii = H[i, i]
             yi = (g[i] - s) / jnp.where(jnp.abs(hii) > 1e-300, hii, 1.0)
             return y.at[i].set(jnp.where(jnp.abs(hii) > 1e-300, yi, 0.0))
@@ -120,9 +140,9 @@ def gmres(matvec, b, M=None, x0=None, restart=30, cycles=4, tol=1e-5,
     def body(carry):
         x, k, _ = carry
         x = arnoldi_cycle(x)
-        rnorm = jnp.linalg.norm(b - matvec(x))
+        rnorm = _norm(b - matvec(x))
         return (x, k + 1, rnorm)
 
-    r0 = jnp.linalg.norm(b - matvec(x))
+    r0 = _norm(b - matvec(x))
     x, k, rnorm = jax.lax.while_loop(cond, body, (x, 0, r0))
     return x, (rnorm, k)

@@ -35,11 +35,15 @@ def ruiz_scales(blocks, jacs, bc_mask, ndof, sweeps=5, reduce_max=None):
     identity in the solver's matvec). reduce_max: optional cross-shard max
     reduction (jax.lax.pmax bound to the mesh axis) for SPMD execution."""
     mask = bc_mask
-    dr = jnp.ones(ndof)
-    dc = jnp.ones(ndof)
+    # run in the element-Jacobian dtype: with f32 jacs the (K,64,64) scaled
+    # temps stay f32 (they are the peak-HBM tensors at 20k-cell scale)
+    dty = jacs[0].dtype
+    one = jnp.ones((), dty)
+    dr = jnp.ones(ndof, dty)
+    dc = jnp.ones(ndof, dty)
     for _ in range(sweeps):
-        rmax = jnp.zeros(ndof)
-        cmax = jnp.zeros(ndof)
+        rmax = jnp.zeros(ndof, dty)
+        cmax = jnp.zeros(ndof, dty)
         for b, A in zip(blocks, jacs):
             dofs = b.dofs
             As = jnp.abs(
@@ -57,10 +61,10 @@ def ruiz_scales(blocks, jacs, bc_mask, ndof, sweeps=5, reduce_max=None):
         if reduce_max is not None:
             rmax = reduce_max(rmax)
             cmax = reduce_max(cmax)
-        dr = dr / jnp.sqrt(jnp.maximum(rmax, 1e-30))
-        dc = dc / jnp.sqrt(jnp.maximum(cmax, 1e-30))
-        dr = jnp.where(mask, 1.0, dr)
-        dc = jnp.where(mask, 1.0, dc)
+        dr = dr / jnp.sqrt(jnp.maximum(rmax, jnp.asarray(1e-30, dty)))
+        dc = dc / jnp.sqrt(jnp.maximum(cmax, jnp.asarray(1e-30, dty)))
+        dr = jnp.where(mask, one, dr)
+        dc = jnp.where(mask, one, dc)
     return dr, dc
 
 

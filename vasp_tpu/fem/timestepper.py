@@ -58,6 +58,28 @@ def _backtrack_update(U, dx, residual_norm_fn, lmbda, n_halvings=4):
     return Ustack[best], rs[best]
 
 
+def _damped_update(U, dx, residual_norm_fn, rnorm_prev, lmbda,
+                   n_halvings=4):
+    """Full-step-first line search: near the root exact Newton descends
+    with the full step, so ONE residual eval suffices (f64 residual
+    assembly is 164 ms at 4k cells on TPU — the backtracking stack was the
+    step's dominant cost). Only when the full step fails to decrease the
+    residual does the halving search run (lax.cond: one branch executes)."""
+    import jax.numpy as _jnp
+
+    Ufull = U - lmbda * dx
+    rfull = residual_norm_fn(Ufull)
+
+    def accept(_):
+        return Ufull, rfull
+
+    def search(_):
+        return _backtrack_update(U, dx, residual_norm_fn, lmbda, n_halvings)
+
+    good = _jnp.isfinite(rfull) & (rfull < rnorm_prev)
+    return jax.lax.cond(good, accept, search, None)
+
+
 @dataclass(frozen=True)
 class StepOptions:
     atol: float = 1e-7
@@ -71,6 +93,12 @@ class StepOptions:
     # "f32" runs the Krylov matvecs on f32 element matrices (full-speed MXU;
     # inexact Newton with f64 residuals) — the TPU production setting
     jac_dtype: Optional[str] = None
+    # "f32" runs the WHOLE Krylov space (basis, dots, Givens) in f32: TPU
+    # has no native f64, so an f64 Arnoldi runs on emulated arithmetic.
+    # Inexact Newton only needs ~1e-4 relative linear solves (residuals and
+    # convergence checks stay f64), well within f32 GMRES reach on the
+    # Ruiz-equilibrated system (cond ~4e6)
+    krylov_dtype: Optional[str] = None
     ruiz_sweeps: int = 4
     # preconditioner: "banded" (block-tridiagonal direct, fem/banded.py —
     # the production choice; fits HBM at every size and GMRES converges in
@@ -152,9 +180,9 @@ def make_step_fn(assembler, bc_mask, options: StepOptions, layout=None,
         def body(carry):
             U, it, rnorm = carry
             dx = newton_update(U)
-            U, rn = _backtrack_update(
+            U, rn = _damped_update(
                 U, dx, lambda Ut: jnp.linalg.norm(residual_raw(Ut)),
-                opt.lmbda,
+                rnorm, opt.lmbda,
             )
             return (U, it + 1, rn)
 
@@ -176,6 +204,7 @@ class IterativeStepper:
             blocks_to_arrays
 
         self.asm = system.assembler
+        self._lift = getattr(system, "lift", None)
         self.space = system.space
         self.opt = options
         self.mask_np = np.asarray(bc_set.mask)
@@ -194,14 +223,23 @@ class IterativeStepper:
         self._n_sub = n_sub
 
         # block tables travel as jit ARGUMENTS, not baked constants (huge
-        # compile-time difference at 20k-cell scale)
+        # compile-time difference at 20k-cell scale; the axon remote
+        # compiler also rejects HLO with >~100 MB of embedded constants)
+        from vasp_tpu.fem.assembly import build_scatter_plan
+
         skeleton, arrays = blocks_to_arrays(self.asm.blocks)
         self._skeleton = skeleton
-        self._blocks_dev = jax.tree.map(jnp.asarray, arrays)
+        plan = build_scatter_plan(self.asm.blocks, self.ndof)
+        self._blocks_dev = dict(
+            blocks=jax.tree.map(jnp.asarray, arrays), plan=plan)
+        if self._lift is not None:
+            self._blocks_dev["lift"] = self._lift
         ndof = self.ndof
 
         def _asm(blocks):
-            return Assembler(ndof, arrays_to_blocks(skeleton, blocks))
+            return Assembler(ndof, arrays_to_blocks(skeleton,
+                                                    blocks["blocks"]),
+                             scatter_plan=blocks["plan"])
 
         self._asm_of = _asm
         mask = self.mask
@@ -226,13 +264,22 @@ class IterativeStepper:
             self._bpat = banded_mod.build_banded_pattern(
                 [np.asarray(b.dofs) for b in self.asm.blocks], ndof)
             iperm_dev = jnp.asarray(self._bpat.iperm)
-            self._apply_banded = banded_mod.make_banded_apply(self._bpat)
             bpat = self._bpat
+            # low-memory variant when the full H/G factors would not leave
+            # HBM headroom (measured OOM at 190k dofs / 16 GB: c=4488,
+            # nb=42 -> C/D/B 9.5 GB + H/G/Sinv 4.7 GB + temps)
+            est_cdb = bpat.nb * bpat.c * bpat.c * 12  # f32 C+D+B bytes
+            self._banded_lowmem = est_cdb > 7 * 2 ** 30
+            if self._banded_lowmem:
+                self._apply_banded = banded_mod.make_banded_apply_lowmem(
+                    bpat)
+            else:
+                self._apply_banded = banded_mod.make_banded_apply(bpat)
             diag_flat = jnp.asarray(
                 banded_mod.identity_diag_slots(bpat, self.mask_np))
 
             @jax.jit
-            def rebuild_banded(U, U0, blocks):
+            def assemble_phase(U, U0, blocks):
                 # everything here feeds the PRECONDITIONER: f32 jacobians
                 # halve peak HBM (the Newton loop recomputes its own)
                 asm = _asm(blocks)
@@ -243,9 +290,29 @@ class IterativeStepper:
                 jf = scale_element_jacobians(asm.blocks, jacs, dr, dc)
                 Cm, Dm, Bm = banded_mod.assemble_banded(
                     asm.blocks, jf, bpat, mask, iperm_dev, diag_flat)
-                Sinv, H, G = banded_mod.factorize_banded(Cm, Dm, Bm)
                 return (dr.astype(jnp.float64), dc.astype(jnp.float64),
-                        Sinv, H, G)
+                        Cm, Dm, Bm)
+
+            # two-phase rebuild with DONATED banded storage: the
+            # factorization reuses the C/D/B buffers where possible
+            if self._banded_lowmem:
+                # keep C/B for the apply; only D is donated (dead after
+                # the Schur scan)
+                factorize_phase = jax.jit(
+                    banded_mod.factorize_banded_lowmem, donate_argnums=(1,))
+
+                def rebuild_banded(U, U0, blocks):
+                    dr, dc, Cm, Dm, Bm = assemble_phase(U, U0, blocks)
+                    Sinv = factorize_phase(Cm, Dm, Bm)
+                    return dr, dc, Sinv, Cm, Bm
+            else:
+                factorize_phase = jax.jit(banded_mod.factorize_banded,
+                                          donate_argnums=(0, 1, 2))
+
+                def rebuild_banded(U, U0, blocks):
+                    dr, dc, Cm, Dm, Bm = assemble_phase(U, U0, blocks)
+                    Sinv, H, G = factorize_phase(Cm, Dm, Bm)
+                    return dr, dc, Sinv, H, G
 
             self._rebuild_banded = rebuild_banded
             self._build_newton()
@@ -306,67 +373,116 @@ class IterativeStepper:
             def precond_fn(pinv, r):
                 return apply_ras(pinv, r)
 
+        has_lift = self._lift is not None
+
         @jax.jit
-        def newton(U0, bcv, load, dr, dc, pinv, blocks):
+        def newton(U0, Ustart, bcv, load, dr, dc, pinv, blocks):
+            # U0: previous-timestep state (enters the theta-scheme residual);
+            # Ustart: Newton starting point (== U0 normally; mid-Newton best
+            # state when retrying after a stall-triggered rebuild)
             asm = asm_of(blocks)
-            U1 = jnp.where(mask, bcv, U0)
+            U1 = jnp.where(mask, bcv, Ustart)
+            if has_lift:
+                from vasp_tpu.fem.biharmonic import correction_apply
+
+                def lift_term(x):
+                    return correction_apply(blocks["lift"], x)
+            else:
+                def lift_term(x):
+                    return 0.0
 
             def residual_raw(U):
-                R = asm.residual(U, U0) + load
+                R = asm.residual(U, U0) + load + lift_term(U)
                 return jnp.where(mask, 0.0, R)
 
             def precond(r):
                 return precond_fn(pinv, r)
+
+            kf32 = opt.krylov_dtype == "f32"
 
             def newton_update(U):
                 # fresh Jacobian each iteration (true Newton); only the RAS
                 # preconditioner is reused across iterations and steps
                 jacs = asm.element_jacobians(U, U0, chunk=opt.jac_chunk,
                                              dtype=jdtype)
+                wdt = jnp.float32 if kf32 else jnp.float64
+                drw, dcw = dr.astype(wdt), dc.astype(wdt)
 
                 def matvec(x):
-                    t = dc * jnp.where(mask, 0.0, x)
-                    y = asm.matvec(jacs, t)
-                    return jnp.where(mask, x, dr * y)
+                    t = dcw * jnp.where(mask, 0.0, x)
+                    y = asm.matvec(jacs, t).astype(wdt)
+                    if has_lift:
+                        y = y + lift_term(t).astype(wdt)
+                    return jnp.where(mask, x, drw * y)
 
-                Rs = dr * residual_raw(U)
+                Rs = (dr * residual_raw(U)).astype(wdt)
                 y, _ = gmres(
                     matvec, Rs, M=precond, restart=opt.gmres_restart,
                     cycles=max(1, opt.gmres_maxiter // opt.gmres_restart),
                     tol=opt.gmres_tol,
                 )
-                return dc * y
+                return dc * y.astype(jnp.float64)
 
             r0 = jnp.linalg.norm(residual_raw(U1))
             r0_safe = jnp.where(r0 > 0, r0, 1.0)
 
             def cond(carry):
-                U, it, rnorm = carry
+                U, it, rnorm, stall, Ub, rb = carry
                 return ((it < opt.max_it) & (rnorm > opt.atol)
-                        & (rnorm / r0_safe > opt.rtol))
+                        & (rnorm / r0_safe > opt.rtol) & (stall < 2))
 
             def body(carry):
-                U, it, rnorm = carry
+                U, it, rnorm, stall, Ub, rb = carry
                 dx = newton_update(U)
-                U, rn = _backtrack_update(
+                U, rn = _damped_update(
                     U, dx, lambda Ut: jnp.linalg.norm(residual_raw(Ut)),
-                    opt.lmbda,
+                    rnorm, opt.lmbda,
                 )
-                return (U, it + 1, rn)
+                # residual not decreasing (line-searched): count a stall —
+                # two in a row exits early so the host can rebuild the
+                # preconditioner instead of burning max_it iterations
+                stall = jnp.where(rn > 0.9 * rnorm, stall + 1, 0)
+                # track the best state seen: a stalled tail can otherwise
+                # END on a worse iterate than it started from
+                better = rn < rb
+                Ub = jnp.where(better, U, Ub)
+                rb = jnp.where(better, rn, rb)
+                return (U, it + 1, rn, stall, Ub, rb)
 
-            U, iters, rnorm = jax.lax.while_loop(cond, body, (U1, 0, r0))
-            return U, dict(iterations=iters, residual=rnorm, r0=r0)
+            _, iters, _, stall, U, rnorm = jax.lax.while_loop(
+                cond, body, (U1, 0, r0, 0, U1, r0))
+            return U, dict(iterations=iters, residual=rnorm, r0=r0,
+                           stalled=stall >= 2)
 
         self._newton = newton
 
     # -------------- public --------------
     def step(self, U0, bc_values, load, tstep):
+        fresh = False
         if (self._pinv is None
                 or tstep - self._last_rebuild >= self.recompute_tstep):
             U1 = jnp.where(self.mask, bc_values, U0)
             self._rebuild(U1, U0, tstep)
-        return self._newton(U0, bc_values, load, self._dr, self._dc,
-                            self._pinv, self._blocks_dev)
+            fresh = True
+        U, stats = self._newton(U0, U0, bc_values, load, self._dr, self._dc,
+                                self._pinv, self._blocks_dev)
+        res = float(stats["residual"])
+        r0 = float(stats["r0"])
+        converged = (res <= self.opt.atol
+                     or res <= self.opt.rtol * max(r0, 1e-300))
+        if not converged and not fresh:
+            # stall-triggered rebuild (NewtonSolver semantics,
+            # fem/solver.py: "rebuild as soon as the residual stops
+            # decreasing"): a preconditioner frozen recompute_tstep steps ago
+            # degrades GMRES exactly on load-jump steps. Rebuild at the best
+            # mid-Newton state and continue from it.
+            self._rebuild(U, U0, tstep)
+            it0 = int(stats["iterations"])
+            U, stats = self._newton(U0, U, bc_values, load, self._dr,
+                                    self._dc, self._pinv, self._blocks_dev)
+            stats = dict(stats)
+            stats["iterations"] = stats["iterations"] + it0
+        return U, stats
 
 
 class IterativeNewtonSolver:

@@ -183,15 +183,29 @@ def post_solve(probes, dvp_, dsi, dt, space, inlet_area, mu_f, rho_f, t,
     return None
 
 
-def finished(d_mean, u_mean, p_mean, mean_count, folder, space, **namespace):
-    """Write the cycle-averaged fields (reference aneurysm.py:206-222)."""
-    import h5py
+def finished(d_mean, u_mean, p_mean, mean_count, folder, space, mesh,
+             **namespace):
+    """Write the cycle-averaged fields as write_checkpoint-layout XDMF+h5
+    (reference aneurysm.py:206-222 writes d_mean/u_mean/p_mean.xdmf via
+    XDMFFile.write_checkpoint) so reference-layout tooling
+    (output_file_lists) parses them."""
+    from vasp_tpu.run.output import CheckpointSeriesWriter
 
     if mean_count == 0:
         return
     viz = Path(folder) / "Visualization"
     viz.mkdir(parents=True, exist_ok=True)
-    for arr, name in ((d_mean, "d_mean"), (u_mean, "u_mean"),
-                      (p_mean, "p_mean")):
-        with h5py.File(viz / f"{name}.h5", "w") as f:
-            f.create_dataset(f"{name}/vector_0", data=arr / mean_count)
+    # CG layouts: P2 vector fields use per-cell P2 dof tables x3 comps,
+    # P1 scalar uses the tet vertices
+    cd_p2 = np.asarray(space.cell_dofs_p2)
+    cell_dofs_vec = (3 * cd_p2[:, :, None]
+                     + np.arange(3)[None, None, :]).reshape(len(cd_p2), -1)
+    for arr, name in ((d_mean, "d_mean"), (u_mean, "u_mean")):
+        w = CheckpointSeriesWriter(
+            viz, name, mesh.coords, mesh.cells, ncomp=3,
+            cell_dofs=cell_dofs_vec, family="CG", degree=2)
+        w.write(np.asarray(arr) / mean_count, 0.0)
+    wp = CheckpointSeriesWriter(
+        viz, "p_mean", mesh.coords, mesh.cells, ncomp=1,
+        cell_dofs=mesh.cells, family="CG", degree=1)
+    wp.write(np.asarray(p_mean) / mean_count, 0.0)

@@ -1,0 +1,614 @@
+"""Halo-exchange multi-chip Newton-Krylov with the PRODUCTION banded
+preconditioner — the scaling path that replaces the round-1 replicated-state
+psum design.
+
+The reference scales by MPI domain decomposition with ghost (shared-vertex)
+layers and a distributed MUMPS solve (reference: docs/offset_stenosis.md:183-187,
+SURVEY.md §2.4). The TPU-native equivalent built here:
+
+- All dof-indexed data lives in the RCM-PERMUTED order of the banded
+  pattern (fem/banded.py). RCM gives bandwidth c, so partitioning the
+  permuted dofs into contiguous per-device spans makes every element's
+  dofs fall inside [owner_span_start, owner_span_start + span + c):
+  each device needs ONLY a right halo of c dofs — one lax.ppermute of a
+  (c,) slice per operator application, riding ICI. No replicated state,
+  no (ndof,)-sized psum.
+- Elements are assigned to the device owning their minimum permuted dof
+  (static partition at setup; the ParMETIS-at-runtime equivalent moves to
+  preprocessing). Scatter-adds go into a local extended vector
+  [own span | right halo | dump]; halo contributions ship to the right
+  neighbour and are added there.
+- The block-tridiagonal factors (Sinv, H, G) are SHARDED along the block
+  axis nb — each chip holds factors for its own span only, which is what
+  makes >=100k-dof problems fit. The two block-Thomas scans are inherently
+  sequential across blocks, so they run phase-sequential across devices
+  (device p scans its nb_loc blocks, hands the (c,) carry to p+1 via
+  ppermute): wall-clock equals the single-chip scan, memory is 1/n.
+- GMRES runs dof-sharded end to end: CGS2 projections and norms contract
+  locally and psum (scalars / (m+1,)-vectors only).
+
+Everything — assembly, Ruiz equilibration, factorization, Newton loop —
+is ONE jitted shard_map program per step plus one per preconditioner
+rebuild, mirroring IterativeStepper's host-level reuse logic.
+"""
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vasp_tpu.fem.banded import build_banded_pattern
+from vasp_tpu.fem.krylov import gmres
+from vasp_tpu.fem.timestepper import StepOptions
+from vasp_tpu.parallel.shard import build_device_mesh
+
+
+# ---------------------------------------------------------------- setup
+@dataclass
+class ShardPlan:
+    """Static partition data (host-precomputed)."""
+
+    c: int          # block size == RCM bandwidth (padded)
+    nb_loc: int     # blocks per device
+    span: int       # dofs per device == nb_loc * c
+    n: int          # devices
+    ndof: int
+    npad: int       # n * span
+    perm: np.ndarray    # (ndof,) permuted position q holds original dof
+    iperm: np.ndarray   # (ndof,) original dof -> permuted position
+
+
+def build_shard_plan(block_dofs, ndof, n_devices):
+    pat = build_banded_pattern(block_dofs, ndof)
+    c = pat.c
+    nb = max(pat.nb, n_devices)
+    nb += (-nb) % n_devices
+    nb_loc = nb // n_devices
+    span = nb_loc * c
+    return ShardPlan(c=c, nb_loc=nb_loc, span=span, n=n_devices, ndof=ndof,
+                     npad=n_devices * span, perm=pat.perm, iperm=pat.iperm)
+
+
+def partition_blocks(system, plan: ShardPlan):
+    """Assign elements to devices and build per-device LOCAL dof tables.
+
+    Returns (skeleton, arrays) where each array has leading axis n (one row
+    per device, padded to a common K_loc) and dof tables index the device's
+    extended vector [0, span + c] (slot span + c is the dump slot for
+    padded elements and bc-free scatter)."""
+    from vasp_tpu.fem.assembly import CellBlock
+
+    n, span, c = plan.n, plan.span, plan.c
+    dump = span + c
+    skeleton, arrays = [], []
+    for b in system.assembler.blocks:
+        dofs = np.asarray(b.dofs)
+        pi = plan.iperm[dofs]  # (K, nloc) permuted dof ids
+        owner = pi.min(axis=1) // span
+        owner = np.clip(owner, 0, n - 1)
+        ext = pi - owner[:, None] * span  # local extended index
+        assert ext.min() >= 0 and ext.max() < span + c, (
+            "element spans more than one halo — bandwidth violated")
+        K_loc = max(1, int(np.bincount(owner, minlength=n).max()))
+        is_cell = isinstance(b, CellBlock)
+        if is_cell:
+            data = dict(
+                dofs=np.full((n, K_loc, dofs.shape[1]), dump, np.int32),
+                Jinv=np.tile(np.eye(3), (n, K_loc, 1, 1)),
+                detJ=np.zeros((n, K_loc)),
+                vol=np.ones((n, K_loc)),
+            )
+        else:
+            data = dict(
+                dofs=np.full((n, K_loc, dofs.shape[1]), dump, np.int32),
+                area2=np.zeros((n, K_loc)),
+            )
+        for dev in range(n):
+            sel = np.nonzero(owner == dev)[0]
+            k = len(sel)
+            data["dofs"][dev, :k] = ext[sel]
+            if is_cell:
+                data["Jinv"][dev, :k] = np.asarray(b.Jinv)[sel]
+                data["detJ"][dev, :k] = np.asarray(b.detJ)[sel]
+                data["vol"][dev, :k] = np.asarray(b.vol)[sel]
+            else:
+                data["area2"][dev, :k] = np.asarray(b.area2)[sel]
+        skeleton.append(("cell" if is_cell else "facet", b.name, b.kernel))
+        arrays.append(data)
+    return skeleton, arrays
+
+
+# ------------------------------------------------------------- SPMD ops
+def _right_perm(n):
+    return [(i, i + 1) for i in range(n - 1)]
+
+
+def _left_perm(n):
+    return [(i + 1, i) for i in range(n - 1)]
+
+
+def make_spmd_ops(plan: ShardPlan, axis):
+    """Halo-exchange primitives over the contiguous-span partition."""
+    span, c, n = plan.span, plan.c, plan.n
+
+    def ext_gather(x_loc):
+        """(span,) -> (span + c + 1,): own span + right neighbour's first c
+        + dump slot (last device's halo is zeros via ppermute semantics)."""
+        halo = jax.lax.ppermute(x_loc[:c], axis, _left_perm(n))
+        return jnp.concatenate(
+            [x_loc, halo, jnp.zeros(1, x_loc.dtype)])
+
+    def halo_add(y_ext):
+        """(span + c + 1,) -> (span,): ship halo contributions right."""
+        recv = jax.lax.ppermute(y_ext[span:span + c], axis, _right_perm(n))
+        return y_ext[:span].at[:c].add(recv)
+
+    def halo_max(y_ext):
+        recv = jax.lax.ppermute(y_ext[span:span + c], axis, _right_perm(n))
+        own = y_ext[:span]
+        return own.at[:c].max(recv)
+
+    def red(x):
+        return jax.lax.psum(x, axis)
+
+    return ext_gather, halo_add, halo_max, red
+
+
+def _local_residual(skeleton, blocks_loc, U_ext, U0_ext, size, dtype=None):
+    """Assemble the local extended residual from this device's elements."""
+    R = jnp.zeros(size, U_ext.dtype if dtype is None else dtype)
+    for (kind, _, kernel), data in zip(skeleton, blocks_loc):
+        dofs = data["dofs"]
+        if kind == "cell":
+            r = jax.vmap(kernel)(U_ext[dofs], U0_ext[dofs], data["Jinv"],
+                                 data["detJ"], data["vol"])
+        else:
+            r = jax.vmap(kernel)(U_ext[dofs], data["area2"])
+        R = R.at[dofs.reshape(-1)].add(r.reshape(-1).astype(R.dtype))
+    return R
+
+
+def _local_jacobians(skeleton, blocks_loc, U_ext, U0_ext, chunk, dtype):
+    from vasp_tpu.fem.assembly import chunked_vmap
+
+    jacs = []
+    for (kind, _, kernel), data in zip(skeleton, blocks_loc):
+        jac = jax.jacfwd(kernel, argnums=0)
+        if kind == "cell":
+            args = [U_ext[data["dofs"]], U0_ext[data["dofs"]], data["Jinv"],
+                    data["detJ"], data["vol"]]
+        else:
+            args = [U_ext[data["dofs"]], data["area2"]]
+        if dtype is not None:
+            args = [a.astype(dtype) for a in args]
+        jacs.append(chunked_vmap(jac, args, chunk))
+    return jacs
+
+
+def _local_matvec(skeleton, blocks_loc, jacs, x_ext, size, out_dtype):
+    y = jnp.zeros(size, out_dtype)
+    for data, A in zip(blocks_loc, jacs):
+        dofs = data["dofs"]
+        xe = x_ext[dofs].astype(A.dtype)
+        ye = jnp.einsum("kab,kb->ka", A, xe, preferred_element_type=A.dtype)
+        y = y.at[dofs.reshape(-1)].add(ye.reshape(-1).astype(out_dtype))
+    return y
+
+
+def _sharded_ruiz(blocks_loc, jacs, mask_loc, ops, plan, sweeps):
+    """Ruiz equilibration with halo-max combines (fem/scaling.py semantics,
+    dof-sharded)."""
+    ext_gather, _, halo_max, _ = ops
+    span, c = plan.span, plan.c
+    size = span + c + 1
+    dty = jacs[0].dtype
+    one = jnp.ones((), dty)
+    dr = jnp.ones(span, dty)
+    dc = jnp.ones(span, dty)
+    mask_ext = ext_gather(mask_loc)
+    for _ in range(sweeps):
+        dr_ext = ext_gather(dr)
+        dc_ext = ext_gather(dc)
+        rmax = jnp.zeros(size, dty)
+        cmax = jnp.zeros(size, dty)
+        for data, A in zip(blocks_loc, jacs):
+            dofs = data["dofs"]
+            As = jnp.abs(dr_ext[dofs][:, :, None] * A
+                         * dc_ext[dofs][:, None, :])
+            bcm = mask_ext[dofs]
+            As = jnp.where(bcm[:, :, None] | bcm[:, None, :], 0.0, As)
+            rmax = rmax.at[dofs.reshape(-1)].max(As.max(axis=2).reshape(-1))
+            cmax = cmax.at[dofs.reshape(-1)].max(As.max(axis=1).reshape(-1))
+        rmax = halo_max(rmax)
+        cmax = halo_max(cmax)
+        dr = dr / jnp.sqrt(jnp.maximum(rmax, jnp.asarray(1e-30, dty)))
+        dc = dc / jnp.sqrt(jnp.maximum(cmax, jnp.asarray(1e-30, dty)))
+        dr = jnp.where(mask_loc, one, dr)
+        dc = jnp.where(mask_loc, one, dc)
+    return dr, dc
+
+
+def _sharded_assemble_banded(blocks_loc, jacs, dr_ext, dc_ext, mask_loc,
+                             ops, plan, diag_loc):
+    """Scatter scaled local element Jacobians into the device's
+    block-tridiagonal storage (nb_loc + 1 block rows; the halo row ships
+    right). Mirrors fem/banded.py assemble_banded."""
+    ext_gather, _, _, _ = ops
+    span, c, nb_loc = plan.span, plan.c, plan.nb_loc
+    nrows = nb_loc + 1
+    size = nrows * c * c
+    D = jnp.zeros(size + 1, jnp.float32)
+    Cm = jnp.zeros(size + 1, jnp.float32)
+    Bm = jnp.zeros(size + 1, jnp.float32)
+    dump = np.int32(size)
+    c32 = np.int32(c)
+    mask_ext = ext_gather(mask_loc)
+    for data, A in zip(blocks_loc, jacs):
+        dofs = data["dofs"]  # local ext indices, dump slot = span + c
+        pi = dofs.astype(jnp.int32)
+        in_range = pi < span + c  # dump slot excluded
+        ok = (~mask_ext[dofs]) & in_range
+        k = pi // c32
+        row = pi % c32
+        o = pi[:, None, :] - (k[:, :, None] - 1) * c32
+        t = o // c32
+        oc = o % c32
+        flat = (k[:, :, None] * c32 + row[:, :, None]) * c32 + oc
+        valid = ok[:, None, :] & ok[:, :, None]
+        As = dr_ext[dofs][:, :, None].astype(jnp.float32) \
+            * A.astype(jnp.float32) \
+            * dc_ext[dofs][:, None, :].astype(jnp.float32)
+        fD = jnp.where(valid & (t == 1), flat, dump).reshape(-1)
+        fC = jnp.where(valid & (t == 0), flat, dump).reshape(-1)
+        fB = jnp.where(valid & (t == 2), flat, dump).reshape(-1)
+        v = As.reshape(-1)
+        D = D.at[fD].add(v)
+        Cm = Cm.at[fC].add(v)
+        Bm = Bm.at[fB].add(v)
+    D = D.at[diag_loc.reshape(-1)].add(1.0)
+    D = D[:size].reshape(nrows, c, c)
+    Cm = Cm[:size].reshape(nrows, c, c)
+    Bm = Bm[:size].reshape(nrows, c, c)
+    # caller merges the halo block-row into the right neighbour's block 0
+    # (B of the halo row is structurally empty: its columns would exceed
+    # the extended range)
+    return D, Cm, Bm
+
+
+def _merge_halo_blockrow(D, Cm, Bm, axis, n):
+    recvD = jax.lax.ppermute(D[-1], axis, _right_perm(n))
+    recvC = jax.lax.ppermute(Cm[-1], axis, _right_perm(n))
+    D = D[:-1].at[0].add(recvD)
+    Cm = Cm[:-1].at[0].add(recvC)
+    Bm = Bm[:-1]
+    return D, Cm, Bm
+
+
+def _sharded_factorize(Cl, Dl, Bl, axis, plan):
+    """Phase-sequential block-Thomas across devices: device p scans its
+    nb_loc blocks with the carry from p-1 (fem/banded.py factorize_banded
+    math; factors stay sharded — memory / n per chip)."""
+    c, n, nb_loc = plan.c, plan.n, plan.nb_loc
+    eye2 = 2.0 * jnp.eye(c, dtype=jnp.float32)
+
+    def scan_fn(G0):
+        def step(G, CDB):
+            Ck, Dk, Bk = CDB
+            CG = jnp.matmul(Ck, G, preferred_element_type=jnp.float32)
+            S = Dk - CG
+            Si = jnp.linalg.inv(S)
+            Si = Si @ (eye2 - S @ Si)
+            Gk = jnp.matmul(Si, Bk, preferred_element_type=jnp.float32)
+            return Gk, Si.astype(jnp.bfloat16)
+
+        return jax.lax.scan(step, G0, (Cl, Dl, Bl))
+
+    idx = jax.lax.axis_index(axis)
+    G = jnp.zeros((c, c), jnp.float32)
+    Sinv = jnp.zeros((nb_loc, c, c), jnp.bfloat16)
+    for p in range(n):
+        Gp, Sp = scan_fn(G)
+        mine = idx == p
+        Sinv = jnp.where(mine, Sp, Sinv)
+        carry = jnp.where(mine, Gp, 0.0)
+        if p < n - 1:
+            G = jax.lax.ppermute(carry, axis, [(p, p + 1)])
+    H = jnp.einsum("kab,kbc->kac", Sinv, Cl,
+                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    Gm = jnp.einsum("kab,kbc->kac", Sinv, Bl,
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    return Sinv, H, Gm
+
+
+def make_sharded_banded_apply(plan: ShardPlan, axis):
+    """apply(Sinv, H, G, r_loc) -> M r (dof-sharded, permuted order).
+
+    Phase-sequential forward/backward scans with (c,) ppermute carries."""
+    c, n, nb_loc, span = plan.c, plan.n, plan.nb_loc, plan.span
+
+    def apply(Sinv, H, G, r_loc):
+        rb = r_loc.astype(jnp.float32).reshape(nb_loc, c)
+        t = jnp.einsum("kab,kb->ka", Sinv, rb,
+                       preferred_element_type=jnp.float32)
+        idx = jax.lax.axis_index(axis)
+
+        def fwd_scan(w0):
+            def fwd(wprev, tH):
+                tk, Hk = tH
+                wk = tk - jnp.matmul(Hk, wprev,
+                                     preferred_element_type=jnp.float32)
+                return wk, wk
+
+            return jax.lax.scan(fwd, w0, (t, H))
+
+        w0 = jnp.zeros(c, jnp.float32)
+        w = jnp.zeros((nb_loc, c), jnp.float32)
+        for p in range(n):
+            wp_last, wp = fwd_scan(w0)
+            mine = idx == p
+            w = jnp.where(mine, wp, w)
+            carry = jnp.where(mine, wp_last, 0.0)
+            if p < n - 1:
+                w0 = jax.lax.ppermute(carry, axis, [(p, p + 1)])
+
+        def bwd_scan(x0):
+            def bwd(xnext, wG):
+                wk, Gk = wG
+                xk = wk - jnp.matmul(Gk, xnext,
+                                     preferred_element_type=jnp.float32)
+                return xk, xk
+
+            return jax.lax.scan(bwd, x0, (w, G), reverse=True)
+
+        x0 = jnp.zeros(c, jnp.float32)
+        x = jnp.zeros((nb_loc, c), jnp.float32)
+        for p in range(n - 1, -1, -1):
+            xp_first, xp = bwd_scan(x0)
+            mine = idx == p
+            x = jnp.where(mine, xp, x)
+            carry = jnp.where(mine, xp_first, 0.0)
+            if p > 0:
+                x0 = jax.lax.ppermute(carry, axis, [(p, p - 1)])
+        return x.reshape(-1).astype(r_loc.dtype)
+
+    return apply
+
+
+# ------------------------------------------------------------- stepper
+class ShardedBandedStepper:
+    """Multi-chip IterativeStepper: dof-sharded state, halo-exchange
+    assembly, sharded banded direct preconditioner, f32 Krylov.
+
+    Mirrors IterativeStepper's host-level reuse: the factorization runs
+    every ``recompute_tstep`` steps (one jitted shard_map program); each
+    timestep is one jitted shard_map Newton program."""
+
+    def __init__(self, system, bc_set, options: StepOptions, mesh=None,
+                 axis_name="dof", recompute_tstep=20):
+        self.opt = options
+        self.mesh = mesh or build_device_mesh(axis_name=axis_name)
+        self.axis = axis_name
+        n = self.mesh.devices.size
+        ndof = system.assembler.ndof
+        plan = build_shard_plan(
+            [np.asarray(b.dofs) for b in system.assembler.blocks], ndof, n)
+        self.plan = plan
+        self.recompute_tstep = int(recompute_tstep)
+        self._last_rebuild = -(10 ** 9)
+        self._factors = None
+
+        skeleton, arrays = partition_blocks(system, plan)
+        self.skeleton = skeleton
+        sh = NamedSharding(self.mesh, P(axis_name))
+        self.blocks_dev = jax.tree.map(
+            lambda a: jax.device_put(jnp.asarray(a), sh), arrays)
+
+        # permuted, padded, sharded mask / diag slots
+        mask_np = np.asarray(bc_set.mask)
+        self._mask_orig = jnp.asarray(mask_np)
+        mask_perm = np.ones(plan.npad, bool)  # padding rows = identity
+        mask_perm[plan.iperm] = mask_np
+        self.mask_dev = jax.device_put(jnp.asarray(
+            mask_perm.reshape(n, plan.span)), sh)
+        # identity diagonal slots per device (bc + padding), local flat idx
+        c, nb_loc, span = plan.c, plan.nb_loc, plan.span
+        nrows = nb_loc + 1
+        q = np.nonzero(mask_perm)[0]
+        dev = q // span
+        loc = q % span
+        kk = loc // c
+        rr = loc % c
+        flat = kk * c * c + rr * c + rr
+        size = nrows * c * c
+        max_cnt = max(1, int(np.bincount(dev, minlength=n).max()))
+        diag = np.full((n, max_cnt), size, np.int64)  # dump slot
+        for d in range(n):
+            sel = flat[dev == d]
+            diag[d, :len(sel)] = sel
+        self.diag_dev = jax.device_put(jnp.asarray(diag), sh)
+
+        self.perm_dev = jnp.asarray(plan.perm)
+        self.iperm_dev = jnp.asarray(plan.iperm)
+        self._build_programs()
+
+    # ---------------- jitted programs ----------------
+    def _build_programs(self):
+        plan, axis, opt = self.plan, self.axis, self.opt
+        skeleton = self.skeleton
+        n, span, c = plan.n, plan.span, plan.c
+        size = span + c + 1
+        jdtype = jnp.float32 if opt.jac_dtype == "f32" else None
+        kf32 = opt.krylov_dtype == "f32"
+        apply_banded = make_sharded_banded_apply(plan, axis)
+
+        def spmd_rebuild(U_loc, U0_loc, mask_loc, diag_loc, blocks_loc):
+            # shard_map delivers the (n, ...) arrays as (1, ...) blocks
+            blocks_loc = jax.tree.map(lambda a: a[0], blocks_loc)
+            ops = make_spmd_ops(plan, axis)
+            ext_gather, halo_add, halo_max, red = ops
+            U_ext = ext_gather(U_loc)
+            U0_ext = ext_gather(U0_loc)
+            jacs = _local_jacobians(skeleton, blocks_loc, U_ext, U0_ext,
+                                    opt.jac_chunk, jnp.float32)
+            dr, dc = _sharded_ruiz(blocks_loc, jacs, mask_loc, ops, plan,
+                                   opt.ruiz_sweeps)
+            dr_ext = ext_gather(dr)
+            dc_ext = ext_gather(dc)
+            D, Cm, Bm = _sharded_assemble_banded(
+                blocks_loc, jacs, dr_ext, dc_ext, mask_loc, ops, plan,
+                diag_loc)
+            D, Cm, Bm = _merge_halo_blockrow(D, Cm, Bm, axis, n)
+            Sinv, H, G = _sharded_factorize(Cm, D, Bm, axis, plan)
+            return (dr.astype(jnp.float64), dc.astype(jnp.float64),
+                    Sinv, H, G)
+
+        def spmd_newton(U0_loc, Ustart_loc, bcv_loc, load_loc, mask_loc,
+                        dr, dc, Sinv, H, G, blocks_loc):
+            blocks_loc = jax.tree.map(lambda a: a[0], blocks_loc)
+            ops = make_spmd_ops(plan, axis)
+            ext_gather, halo_add, halo_max, red = ops
+            U1 = jnp.where(mask_loc, bcv_loc, Ustart_loc)
+            U0_ext = ext_gather(U0_loc)
+
+            def residual_raw(U_loc):
+                R = _local_residual(skeleton, blocks_loc,
+                                    ext_gather(U_loc), U0_ext, size)
+                R = halo_add(R) + load_loc
+                return jnp.where(mask_loc, 0.0, R)
+
+            def rnorm(U_loc):
+                R = residual_raw(U_loc)
+                return jnp.sqrt(red(jnp.dot(R, R)))
+
+            wdt = jnp.float32 if kf32 else jnp.float64
+            drw, dcw = dr.astype(wdt), dc.astype(wdt)
+
+            def newton_update(U_loc):
+                jacs = _local_jacobians(skeleton, blocks_loc,
+                                        ext_gather(U_loc), U0_ext,
+                                        opt.jac_chunk, jdtype)
+
+                def matvec(x_loc):
+                    t = dcw * jnp.where(mask_loc, 0.0, x_loc)
+                    y = _local_matvec(skeleton, blocks_loc, jacs,
+                                      ext_gather(t), size, wdt)
+                    y = halo_add(y)
+                    return jnp.where(mask_loc, x_loc, drw * y)
+
+                Rs = (dr * residual_raw(U_loc)).astype(wdt)
+                y, _ = gmres(
+                    matvec, Rs, M=lambda r: apply_banded(Sinv, H, G, r),
+                    restart=opt.gmres_restart,
+                    cycles=max(1, opt.gmres_maxiter // opt.gmres_restart),
+                    tol=opt.gmres_tol, reduce_fn=red,
+                )
+                return dc * y.astype(jnp.float64)
+
+            r0 = rnorm(U1)
+            r0_safe = jnp.where(r0 > 0, r0, 1.0)
+
+            def cond(carry):
+                U, it, rn, stall, Ub, rb = carry
+                return ((it < opt.max_it) & (rn > opt.atol)
+                        & (rn / r0_safe > opt.rtol) & (stall < 2))
+
+            def body(carry):
+                U, it, rn_prev, stall, Ub, rb = carry
+                dx = newton_update(U)
+                from vasp_tpu.fem.timestepper import _damped_update
+
+                U, rn = _damped_update(U, dx, rnorm, rn_prev, opt.lmbda)
+                stall = jnp.where(rn > 0.9 * rn_prev, stall + 1, 0)
+                better = rn < rb
+                Ub = jnp.where(better, U, Ub)
+                rb = jnp.where(better, rn, rb)
+                return (U, it + 1, rn, stall, Ub, rb)
+
+            _, iters, _, stall, U, rn = jax.lax.while_loop(
+                cond, body, (U1, 0, r0, 0, U1, r0))
+            return U, dict(iterations=iters, residual=rn, r0=r0,
+                           stalled=stall >= 2)
+
+        mesh = self.mesh
+        ax = self.axis
+        ndof, npad = plan.ndof, plan.npad
+        iperm = self.iperm_dev
+        perm = self.perm_dev
+
+        def to_perm(x):
+            return jnp.zeros(npad, x.dtype).at[iperm].set(x)
+
+        def from_perm(xp):
+            return xp[iperm]
+
+        sharded_rebuild = shard_map(
+            spmd_rebuild, mesh=mesh,
+            in_specs=(P(ax), P(ax), P(ax), P(ax),
+                      jax.tree.map(lambda _: P(ax), self.blocks_dev)),
+            out_specs=(P(ax), P(ax), P(ax), P(ax), P(ax)),
+            check_vma=False,
+        )
+        sharded_newton = shard_map(
+            spmd_newton, mesh=mesh,
+            in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(ax), P(ax),
+                      P(ax), P(ax), P(ax),
+                      jax.tree.map(lambda _: P(ax), self.blocks_dev)),
+            out_specs=(P(ax), P()),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def rebuild(U, U0, mask, diag, blocks):
+            return sharded_rebuild(to_perm(U), to_perm(U0), mask, diag,
+                                   blocks)
+
+        @jax.jit
+        def newton(U0, Ustart, bcv, load, mask, dr, dc, Sinv, H, G, blocks):
+            Up, stats = sharded_newton(
+                to_perm(U0), to_perm(Ustart), to_perm(bcv), to_perm(load),
+                mask, dr, dc, Sinv, H, G, blocks)
+            return from_perm(Up), stats
+
+        self._rebuild_fn = rebuild
+        self._newton_fn = newton
+
+    # ---------------- public ----------------
+    def _rebuild(self, U, U0, tstep):
+        dr, dc, Sinv, H, G = self._rebuild_fn(
+            U, U0, self.mask_dev.reshape(-1), self.diag_dev,
+            self.blocks_dev)
+        self._factors = (dr, dc, Sinv, H, G)
+        self._last_rebuild = tstep
+
+    def step(self, U0, bc_values, load, tstep):
+        fresh = False
+        if (self._factors is None
+                or tstep - self._last_rebuild >= self.recompute_tstep):
+            self._rebuild(jnp.where(self._mask_orig, bc_values, U0), U0,
+                          tstep)
+            fresh = True
+        dr, dc, Sinv, H, G = self._factors
+        mask_flat = self.mask_dev.reshape(-1)
+        U, stats = self._newton_fn(U0, U0, bc_values, load, mask_flat,
+                                   dr, dc, Sinv, H, G, self.blocks_dev)
+        res = float(stats["residual"])
+        r0 = float(stats["r0"])
+        converged = (res <= self.opt.atol
+                     or res <= self.opt.rtol * max(r0, 1e-300))
+        if not converged and not fresh:
+            self._rebuild(U, U0, tstep)
+            it0 = int(stats["iterations"])
+            dr, dc, Sinv, H, G = self._factors
+            U, stats = self._newton_fn(U0, U, bc_values, load, mask_flat,
+                                       dr, dc, Sinv, H, G, self.blocks_dev)
+            stats = dict(stats)
+            stats["iterations"] = stats["iterations"] + it0
+        return U, stats

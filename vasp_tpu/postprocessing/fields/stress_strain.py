@@ -132,12 +132,25 @@ def compute_stress_strain(folder, mesh_path=None, stride=1):
     out_coords = mesh.coords[verts]
     nv = len(verts)
 
+    # checkpoint-layout series (the format the reference's h5py stack reads:
+    # <name>/<name>_{i}/vector + dof metadata; see CheckpointSeriesWriter).
+    # Tensors are FULL DG1: one row of 9 components per (cell, vertex) —
+    # reference writes the complete tensor fields, compute_stress_strain.py:
+    # 171-236, and the spectral stack consumes the 6 distinct components
+    # (postprocessing_h5py_common.py:380-399).
+    from vasp_tpu.run.output import CheckpointSeriesWriter
+
+    K = len(solid_cells)
     writers = {
-        name: VizWriter(out_dir, name, out_coords, out_cells, vector=False)
+        name: CheckpointSeriesWriter(
+            out_dir, name, out_coords, out_cells, ncomp=1,
+            cell_dofs=np.arange(K * 4).reshape(K, 4))
         for name in ("MaxPrincipalStress", "MaxPrincipalStrain")
     }
     tensor_writers = {
-        name: VizWriter(out_dir, name, out_coords, out_cells, vector=True)
+        name: CheckpointSeriesWriter(
+            out_dir, name, out_coords, out_cells, ncomp=9,
+            cell_dofs=np.arange(K * 36).reshape(K, 36))
         for name in ("TrueStress", "GreenLagrangeStrain")
     }
 
@@ -179,17 +192,14 @@ def compute_stress_strain(folder, mesh_path=None, stride=1):
 
         mps_n = to_nodes(mps)
         mpe_n = to_nodes(mpe)
-        writers["MaxPrincipalStress"].write(mps_n, float(t))
-        writers["MaxPrincipalStrain"].write(mpe_n, float(t))
-        # tensor series: write von-Mises-style magnitude + diagonal as vector
-        sig_diag = np.stack(
-            [to_nodes(sig[:, :, i, i]) for i in range(3)], axis=1
-        )
-        eps_diag = np.stack(
-            [to_nodes(eps[:, :, i, i]) for i in range(3)], axis=1
-        )
-        tensor_writers["TrueStress"].write(sig_diag, float(t))
-        tensor_writers["GreenLagrangeStrain"].write(eps_diag, float(t))
+        # DG1 per-(cell,vertex) values, flat — max-principal scalars and
+        # FULL 9-component tensors (row-major per point)
+        writers["MaxPrincipalStress"].write(mps.reshape(-1), float(t))
+        writers["MaxPrincipalStrain"].write(mpe.reshape(-1), float(t))
+        tensor_writers["TrueStress"].write(
+            sig.reshape(-1, 9).reshape(-1), float(t))
+        tensor_writers["GreenLagrangeStrain"].write(
+            eps.reshape(-1, 9).reshape(-1), float(t))
         mps_sum += mps_n
         mpe_sum += mpe_n
 

@@ -198,14 +198,22 @@ def _save_plot(x, ys, labels, title, ylabel, path, xlabel="Time [s]",
     plt.close(fig)
 
 
-def plot_all(data, out_dir, period=None, save=True):
+def plot_all(data, out_dir, period=None, save=True, select=None,
+             probe_ids=None, save_probes=True):
     """Emit the reference's standard figure set
-    (reference image dirs: tests/test_data/reference_images/**)."""
+    (reference image dirs: tests/test_data/reference_images/**).
+
+    select: optional set of figure keys (cpu_time, flow_rate, ...) — when
+    given, only those figures are produced (the reference's individual
+    --plot-X flags); None plots everything."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     t = data["time"]
     fp = data["flow_properties"]
     figures = []
+
+    def want(*keys):
+        return select is None or any(k in select for k in keys)
 
     def plot(name, ys, labels, ylabel, x=None, **kw):
         path = out / f"{name}.png"
@@ -213,23 +221,28 @@ def plot_all(data, out_dir, period=None, save=True):
                    ylabel, path, **kw)
         figures.append(path)
 
-    plot("cpu_time", [data["cpu_time"]], [""], "CPU time [s]")
-    if len(data["ramp_factor"]):
+    if want("cpu_time"):
+        plot("cpu_time", [data["cpu_time"]], [""], "CPU time [s]")
+    if len(data["ramp_factor"]) and want("ramp_factor"):
         plot("ramp_factor", [data["ramp_factor"]], [""], "ramp factor")
-    if len(data["pressure"]):
+    if len(data["pressure"]) and want("pressure"):
         plot("pressure", [data["pressure"]], [""], "Pressure [Pa]")
-    plot("flow_rate", [fp["flow_rate"]], [""], "Flow rate [m3/s]")
-    plot("velocity",
-         [fp["velocity_mean"], fp["velocity_min"], fp["velocity_max"]],
-         ["mean", "min", "max"], "Velocity [m/s]")
-    plot("cfl", [fp["cfl_mean"], fp["cfl_min"], fp["cfl_max"]],
-         ["mean", "min", "max"], "CFL")
-    plot("reynolds_numbers",
-         [fp["reynolds_mean"], fp["reynolds_min"], fp["reynolds_max"]],
-         ["mean", "min", "max"], "Re")
+    if want("flow_rate"):
+        plot("flow_rate", [fp["flow_rate"]], [""], "Flow rate [m3/s]")
+    if want("velocity"):
+        plot("velocity",
+             [fp["velocity_mean"], fp["velocity_min"], fp["velocity_max"]],
+             ["mean", "min", "max"], "Velocity [m/s]")
+    if want("cfl"):
+        plot("cfl", [fp["cfl_mean"], fp["cfl_min"], fp["cfl_max"]],
+             ["mean", "min", "max"], "CFL")
+    if want("reynolds"):
+        plot("reynolds_numbers",
+             [fp["reynolds_mean"], fp["reynolds_min"], fp["reynolds_max"]],
+             ["mean", "min", "max"], "Re")
     na = data["newton_iteration"]["atol"]
     nr = data["newton_iteration"]["rtol"]
-    if len(na):
+    if len(na) and want("newton_iteration_atol", "newton_iteration_rtol"):
         xi = np.arange(len(na))
         _save_plot(xi, [na], [""], "newton iteration (atol)", "r (atol)",
                    out / "newton_iteration_(atol).png",
@@ -239,14 +252,20 @@ def plot_all(data, out_dir, period=None, save=True):
                    xlabel="iteration", semilogy=True)
         figures += [out / "newton_iteration_(atol).png",
                     out / "newton_iteration_(rtol).png"]
-    if len(data["min_jacobian"]):
+    if len(data["min_jacobian"]) and want("min_jacobian"):
         plot("minimum_jacobian", [data["min_jacobian"]], [""],
              "min J(d)")
 
+    def sel_probes(d):
+        items = sorted(d.items())
+        if probe_ids is not None:
+            items = [(p, v) for p, v in items if p in probe_ids]
+        return items
+
     # probe points
-    if data["probe_points"]:
+    if data["probe_points"] and want("probe_points", "probe_points_tke"):
         fig = plt.figure(figsize=(10, 6))
-        for p, d in sorted(data["probe_points"].items()):
+        for p, d in sel_probes(data["probe_points"]):
             n = min(len(t), len(d["magnitude"]))
             plt.plot(t[:n], d["magnitude"][:n], label=f"probe {p}")
         plt.xlabel("Time [s]")
@@ -257,10 +276,10 @@ def plot_all(data, out_dir, period=None, save=True):
         plt.close(fig)
         figures.append(out / "probe_points.png")
         # TKE
-        if period:
+        if period and want("probe_points_tke"):
             fig = plt.figure(figsize=(10, 6))
             plotted = False
-            for p, d in sorted(data["probe_points"].items()):
+            for p, d in sel_probes(data["probe_points"]):
                 phase_t, tke = compute_tke(d["velocity"], t[: len(d["velocity"])],
                                            period)
                 if tke is not None:
@@ -274,9 +293,10 @@ def plot_all(data, out_dir, period=None, save=True):
                 plt.savefig(out / "probe_points_tke.png")
                 figures.append(out / "probe_points_tke.png")
             plt.close(fig)
-    if data["probe_points_displacement"]:
+    if data["probe_points_displacement"] and want(
+            "probe_points_displacement"):
         fig = plt.figure(figsize=(10, 6))
-        for p, d in sorted(data["probe_points_displacement"].items()):
+        for p, d in sel_probes(data["probe_points_displacement"]):
             mag = d["displacement_magnitude"]
             n = min(len(t), len(mag))
             plt.plot(t[:n], mag[:n], label=f"probe {p}")
@@ -288,14 +308,133 @@ def plot_all(data, out_dir, period=None, save=True):
         plt.close(fig)
         figures.append(out / "probe_points_displacement.png")
 
-    # probe data pickles (reference: log_plotter.py:717-807)
-    with open(out / "probe_points.pickle", "wb") as f:
-        pickle.dump(data["probe_points"], f)
+    # probe data pickles, velocity AND displacement
+    # (reference: log_plotter.py:717-807)
+    if save_probes:
+        with open(out / "probe_points.pickle", "wb") as f:
+            pickle.dump(data["probe_points"], f)
+        if data["probe_points_displacement"]:
+            with open(out / "probe_points_displacement.pickle", "wb") as f:
+                pickle.dump(data["probe_points_displacement"], f)
     return figures
 
 
-def plot_compare_cycles(data, out_dir, period):
-    """Per-cycle overlay plots (reference compare-cycles variants)."""
+def trim_cycles(data, period, start_cycle=1, end_cycle=None):
+    """Restrict every time-aligned series to cycles [start_cycle, end_cycle]
+    (1-based, inclusive; reference: --start-cycle/--end-cycle semantics)."""
+    t = data["time"]
+    if not period or len(t) < 2:
+        return data
+    dt = np.mean(np.diff(t))
+    spc = int(round(period / dt))
+    if spc <= 0:
+        return data
+    n_cycles = max(1, len(t) // spc)
+    end_cycle = min(end_cycle or n_cycles, n_cycles)
+    i0 = (start_cycle - 1) * spc
+    i1 = end_cycle * spc
+    if i0 >= len(t):
+        return data
+
+    def cut(x):
+        return x[i0:min(i1, len(x))]
+
+    out = dict(data)
+    for key in ("time_step", "time", "cpu_time", "ramp_factor", "pressure",
+                "min_jacobian"):
+        out[key] = cut(np.asarray(data[key]))
+    out["flow_properties"] = {
+        k: cut(np.asarray(v)) for k, v in data["flow_properties"].items()
+    }
+    out["probe_points"] = {
+        p: {k: cut(np.asarray(v)) for k, v in d.items()}
+        for p, d in data["probe_points"].items()
+    }
+    out["probe_points_displacement"] = {
+        p: {k: cut(np.asarray(v)) for k, v in d.items()}
+        for p, d in data["probe_points_displacement"].items()
+    }
+    return out
+
+
+def phase_average(series, times, period):
+    """Cycle-phase average of a series; returns (phase_times, mean)."""
+    times = np.asarray(times)
+    series = np.asarray(series)
+    if len(times) < 2 or not period:
+        return None, None
+    dt = np.mean(np.diff(times))
+    spc = int(round(period / dt))
+    if spc <= 0:
+        return None, None
+    n = min(len(series), len(times)) // spc
+    if n < 1:
+        return None, None
+    seg = series[: n * spc].reshape(n, spc, -1).squeeze(-1) \
+        if series.ndim == 1 else series[: n * spc].reshape(n, spc, -1)
+    return times[:spc] - times[0], seg.mean(axis=0)
+
+
+def plot_average(data, out_dir, period):
+    """Cycle-averaged variants of the standard figure set (reference
+    --compute-average: same basenames, phase-averaged content — image dir
+    tests/test_data/reference_images/test_average)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    t = data["time"]
+    fp = data["flow_properties"]
+    figures = []
+
+    def avg_plot(name, series_list, labels, ylabel):
+        xs, ys = None, []
+        for s in series_list:
+            pt, m = phase_average(s, t[: len(s)], period)
+            if m is None:
+                return
+            xs = pt
+            ys.append(m)
+        path = out / f"{name}.png"
+        _save_plot(xs, ys, labels, f"{name} (cycle-averaged)", ylabel, path,
+                   xlabel="Phase time [s]")
+        figures.append(path)
+
+    avg_plot("cpu_time", [data["cpu_time"]], [""], "CPU time [s]")
+    if len(data["ramp_factor"]):
+        avg_plot("ramp_factor", [data["ramp_factor"]], [""], "ramp factor")
+    if len(data["pressure"]):
+        avg_plot("pressure", [data["pressure"]], [""], "Pressure [Pa]")
+    avg_plot("flow_rate", [fp["flow_rate"]], [""], "Flow rate [m3/s]")
+    avg_plot("velocity",
+             [fp["velocity_mean"], fp["velocity_min"], fp["velocity_max"]],
+             ["mean", "min", "max"], "Velocity [m/s]")
+    avg_plot("cfl", [fp["cfl_mean"], fp["cfl_min"], fp["cfl_max"]],
+             ["mean", "min", "max"], "CFL")
+    avg_plot("reynolds_numbers",
+             [fp["reynolds_mean"], fp["reynolds_min"], fp["reynolds_max"]],
+             ["mean", "min", "max"], "Re")
+    if data["probe_points"]:
+        fig = plt.figure(figsize=(10, 6))
+        plotted = False
+        for p, d in sorted(data["probe_points"].items()):
+            pt, m = phase_average(d["magnitude"], t[: len(d["magnitude"])],
+                                  period)
+            if m is not None:
+                plt.plot(pt, m, label=f"probe {p}")
+                plotted = True
+        if plotted:
+            plt.xlabel("Phase time [s]")
+            plt.ylabel("|u| [m/s]")
+            plt.legend()
+            plt.grid(True)
+            plt.savefig(out / "probe_points.png")
+            figures.append(out / "probe_points.png")
+        plt.close(fig)
+    return figures
+
+
+def plot_compare_cycles(data, out_dir, period, probe_ids=None):
+    """Per-cycle overlay plots (reference compare-cycles image names:
+    {quantity}_comparison.png, probe_points_comparison_{p}.png)."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     t = data["time"]
@@ -305,27 +444,51 @@ def plot_compare_cycles(data, out_dir, period):
     spc = int(round(period / dt))
     if spc <= 0:
         return []
-    n_cycles = len(t) // spc
+    n_cycles = max(1, len(t) // spc)
     figures = []
-    for key, series, ylabel in (
-        ("flow_rate", data["flow_properties"]["flow_rate"], "Flow rate"),
-        ("velocity", data["flow_properties"]["velocity_mean"], "Velocity"),
-    ):
-        if len(series) < spc:
-            continue
+
+    def overlay(path, series, ylabel):
         fig = plt.figure(figsize=(10, 6))
         for c in range(n_cycles):
-            seg = series[c * spc: (c + 1) * spc]
+            seg = np.asarray(series)[c * spc: (c + 1) * spc]
+            if len(seg) == 0:
+                continue
             plt.plot(np.arange(len(seg)) * dt, seg, label=f"cycle {c + 1}")
         plt.xlabel("Cycle time [s]")
         plt.ylabel(ylabel)
         plt.legend()
         plt.grid(True)
-        path = out / f"{key}_cycles.png"
         plt.savefig(path)
         plt.close(fig)
         figures.append(path)
+
+    fp = data["flow_properties"]
+    for key, series, ylabel in (
+        ("cpu_time", data["cpu_time"], "CPU time [s]"),
+        ("pressure", data["pressure"], "Pressure [Pa]"),
+        ("flow_rate", fp["flow_rate"], "Flow rate"),
+        ("velocity", fp["velocity_mean"], "Velocity"),
+        ("cfl", fp["cfl_mean"], "CFL"),
+        ("reynolds_numbers", fp["reynolds_mean"], "Re"),
+    ):
+        if len(series) >= spc:
+            overlay(out / f"{key}_comparison.png", series, ylabel)
+    probes = data["probe_points"]
+    ids = probe_ids if probe_ids is not None else sorted(probes)
+    for p in ids:
+        if p in probes and len(probes[p]["magnitude"]) >= spc:
+            overlay(out / f"probe_points_comparison_{p}.png",
+                    probes[p]["magnitude"], f"|u| probe {p}")
     return figures
+
+
+# figure-name -> selector flag (reference log_plotter.py:1117-1131)
+_SELECTORS = (
+    "cpu_time", "ramp_factor", "pressure", "newton_iteration_atol",
+    "newton_iteration_rtol", "probe_points", "probe_points_displacement",
+    "probe_points_tke", "flow_rate", "velocity", "cfl", "reynolds",
+    "min_jacobian",
+)
 
 
 def main(argv=None):
@@ -333,19 +496,37 @@ def main(argv=None):
     parser.add_argument("--log-file", required=True)
     parser.add_argument("--save-figures", action="store_true", default=True)
     parser.add_argument("--output-directory", default=None)
-    parser.add_argument("--plot-cpu-time", action="store_true")
-    parser.add_argument("--plot-all", action="store_true", default=True)
+    parser.add_argument("--plot-all", action="store_true")
+    for name in _SELECTORS:
+        parser.add_argument(f"--plot-{name.replace('_', '-')}",
+                            action="store_true")
+    parser.add_argument("--probe-points", type=int, nargs="+", default=None)
     parser.add_argument("--compare-cycles", action="store_true")
+    parser.add_argument("--compute-average", action="store_true")
+    parser.add_argument("--save-probes", action="store_true", default=True)
     parser.add_argument("--period", type=float, default=None,
                         help="cardiac cycle length for TKE / cycle plots")
     parser.add_argument("--start-cycle", type=int, default=1)
     parser.add_argument("--end-cycle", type=int, default=None)
     args = parser.parse_args(argv)
     data = parse_log_file(args.log_file)
+    if args.period and (args.start_cycle != 1 or args.end_cycle):
+        data = trim_cycles(data, args.period, args.start_cycle,
+                           args.end_cycle)
     out = args.output_directory or (Path(args.log_file).parent / "Images")
-    figs = plot_all(data, out, period=args.period)
+    selected = {name for name in _SELECTORS
+                if getattr(args, f"plot_{name}")}
+    figs = plot_all(data, out, period=args.period,
+                    select=selected or None,
+                    probe_ids=args.probe_points,
+                    save_probes=args.save_probes)
+    if args.compute_average and args.period:
+        avg_dir = Path(out) / "average"
+        figs += plot_average(data, avg_dir, args.period)
     if args.compare_cycles and args.period:
-        figs += plot_compare_cycles(data, out, args.period)
+        cmp_dir = Path(out) / "compare_cycles"
+        figs += plot_compare_cycles(data, cmp_dir, args.period,
+                                    probe_ids=args.probe_points)
     print(f"Saved {len(figs)} figures to {out}")
 
 

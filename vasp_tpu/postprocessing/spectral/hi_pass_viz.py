@@ -39,6 +39,11 @@ def create_hi_pass_viz(folder, quantity="d", lowcut=25.0, highcut=100000.0,
     params = read_parameters_from_file(folder) or {}
     save_deg = int(params.get("save_deg", 2))
     mesh_path = Path(mesh_path) if mesh_path else folder / "Mesh" / "mesh.h5"
+
+    if quantity == "strain":
+        return _create_hi_pass_strain(folder, lowcut, highcut, bands,
+                                      start_t, end_t, stride)
+
     mesh = read_vasp_mesh(mesh_path)
     out_mesh = refine_uniform(mesh) if save_deg == 2 else mesh
 
@@ -118,3 +123,92 @@ def create_hi_pass_viz(folder, quantity="d", lowcut=25.0, highcut=100000.0,
                    header="time," + ",".join(f"p{p}" for p in pcts))
         results["amplitude"] = rms_series
     return results
+
+
+def _create_hi_pass_strain(folder, lowcut, highcut, bands, start_t, end_t,
+                           stride):
+    """Strain band-pass: filter the 6 distinct Green-Lagrange components,
+    windowed-RMS their amplitudes, reassemble the symmetric amplitude
+    tensor, and take its max-principal value per DG point — the reference's
+    strain quantity (reference: create_hi_pass_viz.py:295-325; RMS window
+    50, L222-228)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vasp_tpu.fem.kinematics import get_eig
+    from vasp_tpu.postprocessing.spectral.transform import (
+        create_transformed_matrix,
+        _TENSOR_SLOTS,
+    )
+    from vasp_tpu.run.output import CheckpointSeriesWriter
+
+    comps, times, npz_dir = create_transformed_matrix(
+        folder, "strain", start_t=start_t, end_t=end_t, stride=stride)
+    import pickle
+
+    with open(npz_dir / "dof_info.pkl", "rb") as f:
+        di = pickle.load(f)
+    coords = di["mesh/geometry"]
+    cells = di["mesh/topology"]
+    K = len(cells)
+    fs = 1.0 / np.mean(np.diff(times)) if len(times) > 1 else 1.0
+
+    def filt(mat):
+        if bands:
+            out = np.zeros_like(mat)
+            for (lo, hi, btype) in bands:
+                if btype == "pass":
+                    out += spec.butter_bandpass_filter(
+                        mat, lowcut=lo, highcut=hi, fs=fs, order=6,
+                        btype="band")
+                else:
+                    out = spec.butter_bandpass_filter(
+                        out, lowcut=lo, highcut=hi, fs=fs, order=6,
+                        btype="stop")
+            return out
+        hi_eff = min(highcut, 0.5 * fs * 0.999)
+        btype = "band" if hi_eff < 0.5 * fs * 0.99 else "highpass"
+        return spec.butter_bandpass_filter(mat, lowcut=lowcut,
+                                           highcut=hi_eff, fs=fs, order=6,
+                                           btype=btype)
+
+    window = min(_DEFAULT_RMS_WINDOW["strain"], len(times))
+    filtered = {c: filt(m) for c, m in comps.items()}  # (Npts, T) each
+    rms = {c: spec.calculate_windowed_rms(m, window, axis=-1)
+           for c, m in filtered.items()}
+
+    # symmetric amplitude tensor per (point, time) -> max principal value
+    npts, T = rms["11"].shape
+    A = np.zeros((npts, T, 3, 3))
+    for cname, slot in _TENSOR_SLOTS.items():
+        i, j = divmod(slot, 3)
+        A[:, :, i, j] = rms[cname]
+        A[:, :, j, i] = rms[cname]
+    eig = jax.jit(jax.vmap(jax.vmap(get_eig)))
+    mps_amp = np.asarray(eig(jnp.asarray(A)))  # (Npts, T)
+
+    out_dir = folder / "Visualization_hi_pass"
+    tag = f"strain_{int(lowcut)}_to_{int(highcut)}"
+    # filtered tensor series (checkpoint layout, full 9 components) and the
+    # max-principal amplitude series
+    wt = CheckpointSeriesWriter(out_dir, tag, coords, cells, ncomp=9,
+                                cell_dofs=np.arange(K * 36).reshape(K, 36))
+    wa = CheckpointSeriesWriter(out_dir, f"{tag}_amplitude", coords, cells,
+                                ncomp=1,
+                                cell_dofs=np.arange(K * 4).reshape(K, 4))
+    full = np.zeros((npts, T, 9))
+    for cname, slot in _TENSOR_SLOTS.items():
+        i, j = divmod(slot, 3)
+        full[:, :, 3 * i + j] = filtered[cname]
+        full[:, :, 3 * j + i] = filtered[cname]
+    for k, t in enumerate(times):
+        wt.write(full[:, k, :].reshape(-1), float(t))
+        wa.write(mps_amp[:, k], float(t))
+
+    pcts = [5, 25, 50, 75, 95, 99]
+    table = np.column_stack(
+        [times] + [np.percentile(mps_amp, p, axis=0) for p in pcts])
+    np.savetxt(out_dir / f"{tag}_amplitude_percentiles.csv", table,
+               delimiter=",",
+               header="time," + ",".join(f"p{p}" for p in pcts))
+    return dict(times=times, amplitude=mps_amp)

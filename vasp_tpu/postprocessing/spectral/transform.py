@@ -24,18 +24,40 @@ from vasp_tpu.postprocessing.common import (
 )
 
 _COMPONENTS = {"v": ["mag", "x", "y", "z"], "d": ["mag", "x", "y", "z"],
-               "p": ["mag"]}
+               "p": ["mag"], "wss": ["mag", "x", "y", "z"], "mps": ["mag"],
+               "stress": ["11", "12", "22", "23", "33", "31"],
+               "strain": ["11", "12", "22", "23", "33", "31"]}
 _FIELD_FILE = {"v": "velocity", "d": "displacement", "p": "pressure"}
+# checkpoint-layout series written by the postprocessing stages
+# (reference quantity->file map: postprocessing_h5py_common.py:199-210)
+_CKPT_FILE = {"wss": ("Hemodynamic_indices", "WSS"),
+              "mps": ("StressStrain", "MaxPrincipalStrain"),
+              "stress": ("StressStrain", "TrueStress"),
+              "strain": ("StressStrain", "GreenLagrangeStrain")}
+# row-major 3x3 flat index of the 6 distinct symmetric components
+# (reference: postprocessing_h5py_common.py:380-399)
+_TENSOR_SLOTS = {"11": 0, "12": 1, "22": 4, "23": 5, "33": 8, "31": 6}
 
 
 def create_transformed_matrix(folder, quantity="v", start_t=None, end_t=None,
                               stride=1, out_folder=None):
-    """Read the Visualization series of `quantity` ('v'|'d'|'p') and save
-    node x time matrices per component. Returns (dict comp->array, times,
-    npz folder)."""
+    """Read the output series of `quantity` and save node x time matrices
+    per component as compressed npz — THE pivot op of the spectral stack
+    (reference: postprocessing_h5py_common.py:154-409).
+
+    quantity: 'v'|'d'|'p' (Visualization series), 'wss' (hemodynamics WSS
+    time series), 'mps' (max principal strain, DG1 scalar), 'stress'|'strain'
+    (full DG1 tensors -> the 6 distinct components 11,12,22,23,33,31).
+    Returns (dict comp->array, times, npz folder)."""
     folder = Path(folder)
-    viz = folder / "Visualization"
-    name = _FIELD_FILE[quantity]
+    if quantity in _FIELD_FILE:
+        viz = folder / "Visualization"
+        name = _FIELD_FILE[quantity]
+        fmt = "VisualisationVector/{}"
+    else:
+        sub, name = _CKPT_FILE[quantity]
+        viz = folder / sub
+        fmt = name + "/" + name + "_{}/vector"
     h5s, times, idxs = output_file_lists(viz / f"{name}.xdmf")
     times = np.asarray(times)
     sel = np.arange(len(times))[::stride]
@@ -49,32 +71,71 @@ def create_transformed_matrix(folder, quantity="v", start_t=None, end_t=None,
             print("WARNING : Uneven temporal spacing detected")
 
     arrays = []
+    dof_info = None
     cache = {}
     try:
         for i in sel:
             if h5s[i] not in cache:
                 cache[h5s[i]] = h5py.File(viz / h5s[i], "r")
-            arrays.append(cache[h5s[i]][f"VisualisationVector/{idxs[i]}"][:])
+            arrays.append(cache[h5s[i]][fmt.format(idxs[i])][:])
+        if quantity in _CKPT_FILE:
+            # dof metadata for downstream tensor reassembly (reference
+            # saves these as dof_info pickles, common.py:401-406)
+            f0 = cache[h5s[sel[0]]]
+            g0 = f0[f"{name}/{name}_0"]
+            dof_info = {k: np.asarray(g0[k][:]) for k in
+                        ("cell_dofs", "cells", "x_cell_dofs")}
+            dof_info["mesh/geometry"] = np.asarray(g0["mesh/geometry"][:])
+            dof_info["mesh/topology"] = np.asarray(g0["mesh/topology"][:])
     finally:
         for f in cache.values():
             f.close()
-    series = np.stack(arrays, axis=0)  # (T, N, 3) or (T, N)
+    series = np.stack(arrays, axis=0)  # (T, N, 3) | (T, N) | (T, ndofs, 1)
 
     comps = {}
-    if series.ndim == 3:
+    if quantity in ("stress", "strain"):
+        T = series.shape[0]
+        pts = series.reshape(T, -1, 9)  # (T, K*4 points, 9)
+        for cname, slot in _TENSOR_SLOTS.items():
+            comps[cname] = pts[:, :, slot].T
+    elif series.ndim == 3 and series.shape[2] == 3:
         comps["x"] = series[:, :, 0].T
         comps["y"] = series[:, :, 1].T
         comps["z"] = series[:, :, 2].T
         comps["mag"] = np.linalg.norm(series, axis=2).T
     else:
-        comps["mag"] = series.T
+        comps["mag"] = series.reshape(series.shape[0], -1).T
 
     out = Path(out_folder) if out_folder else folder / f"npz_{quantity}"
     out.mkdir(parents=True, exist_ok=True)
     for comp, mat in comps.items():
+        # "data" is this package's key; "component" matches the reference's
+        # npz readers (postprocessing_h5py_common.py read_npz_files)
         np.savez_compressed(out / f"{quantity}_{comp}.npz", data=mat,
-                            times=times[sel])
+                            component=mat, times=times[sel])
+    if dof_info is not None:
+        import pickle
+
+        with open(out / "dof_info.pkl", "wb") as f:
+            pickle.dump(dof_info, f)
     return comps, times[sel], out
+
+
+def _points_in_region(coords, region, sampling_region):
+    """Row ids of coords inside a sphere [x,y,z,r] or box [x0..z1]; all
+    rows when no region is given."""
+    if sampling_region is None:
+        return np.arange(len(coords))
+    if region == "sphere":
+        cx, cy, cz, r = sampling_region
+        keep = ((coords[:, 0] - cx) ** 2 + (coords[:, 1] - cy) ** 2
+                + (coords[:, 2] - cz) ** 2) <= r ** 2
+    else:
+        x0, x1, y0, y1, z0, z1 = sampling_region
+        keep = ((coords[:, 0] >= x0) & (coords[:, 0] <= x1)
+                & (coords[:, 1] >= y0) & (coords[:, 1] <= y1)
+                & (coords[:, 2] >= z0) & (coords[:, 2] <= z1))
+    return np.nonzero(keep)[0]
 
 
 def select_region_nodes(mesh_path, params=None, region="sphere",
@@ -140,17 +201,50 @@ def read_spectrogram_data(folder, mesh_path=None, quantity="v",
     params = read_parameters_from_file(folder) or {}
     mesh_path = Path(mesh_path) if mesh_path else folder / "Mesh" / "mesh.h5"
 
-    npz = folder / f"npz_{quantity}" / f"{quantity}_{component}.npz"
-    if not npz.exists():
-        create_transformed_matrix(folder, quantity, start_t, end_t, stride)
-    data = np.load(npz)
-    mat, times = data["data"], data["times"]
+    if quantity in ("stress", "strain") and component == "mag":
+        # Frobenius magnitude from the 6 distinct symmetric components
+        npz0 = folder / f"npz_{quantity}" / f"{quantity}_11.npz"
+        if not npz0.exists():
+            create_transformed_matrix(folder, quantity, start_t, end_t,
+                                      stride)
+        acc, times = None, None
+        for cname in _COMPONENTS[quantity]:
+            d = np.load(folder / f"npz_{quantity}" / f"{quantity}_{cname}.npz")
+            w = 1.0 if cname in ("11", "22", "33") else 2.0
+            acc = (w * d["data"] ** 2 if acc is None
+                   else acc + w * d["data"] ** 2)
+            times = d["times"]
+        mat = np.sqrt(acc)
+    else:
+        npz = folder / f"npz_{quantity}" / f"{quantity}_{component}.npz"
+        if not npz.exists():
+            create_transformed_matrix(folder, quantity, start_t, end_t,
+                                      stride)
+        data = np.load(npz)
+        mat, times = data["data"], data["times"]
 
-    ids = select_region_nodes(
-        mesh_path, params, region, sampling_region,
-        fluid_sampling_domain, solid_sampling_domain,
-        fsi_region=params.get("fsi_region"),
-    )
+    if quantity == "wss":
+        # WSS rows live on the fluid BOUNDARY mesh, not the volume mesh
+        # (reference: spectrograms.py:214-217 get_surface_topology_coords)
+        with h5py.File(folder / "Hemodynamic_indices" / "WSS.h5", "r") as f:
+            coords = f["Mesh/0/mesh/geometry"][:]
+        ids = _points_in_region(coords, region, sampling_region
+                                or params.get("fsi_region"))
+    elif quantity in ("mps", "stress", "strain"):
+        # rows are DG points (cell, vertex) of the solid submesh
+        import pickle
+
+        with open(folder / f"npz_{quantity}" / "dof_info.pkl", "rb") as f:
+            di = pickle.load(f)
+        coords = di["mesh/geometry"][di["mesh/topology"]].reshape(-1, 3)
+        ids = _points_in_region(coords, region, sampling_region
+                                or params.get("fsi_region"))
+    else:
+        ids = select_region_nodes(
+            mesh_path, params, region, sampling_region,
+            fluid_sampling_domain, solid_sampling_domain,
+            fsi_region=params.get("fsi_region"),
+        )
     ids = ids[ids < mat.shape[0]]
     if sampling_method == "PointList" and point_ids is not None:
         ids = np.asarray(point_ids)

@@ -87,6 +87,24 @@ class FSISystem:
         lift_coeff = 1.0
         if lift == "laplace" and lift_sub == "small_constant":
             lift_coeff = 0.01 * mesh.hmin ** 2
+        self.lift = None
+        if lift == "biharmonic":
+            # build the correction tables FIRST: the element kernels carry
+            # beta*gamma*L — the spectral surrogate of the true beta
+            # L M^-1 L block — so the element-Jacobian-based preconditioners
+            # see the right d-block magnitude (fem/biharmonic.py docstring).
+            # beta=1 is the validated default; tunable via biharmonic_beta.
+            from vasp_tpu.fem.biharmonic import build_biharmonic
+
+            beta = float(cfg.get("biharmonic_beta", 1.0))
+            self.lift = build_biharmonic(
+                mesh, space,
+                np.atleast_1d(cfg.get("dx_f_id", 1)).tolist(),
+                sub_type=lift_sub,
+                quad_degree=min(qd, 3),
+                beta=beta,
+            )
+            lift_coeff = float(self.lift["beta_gamma"])
 
         blocks = []
         self.fluid_props = normalize_fluid_properties(cfg)
@@ -106,6 +124,7 @@ class FSISystem:
                 lift_sub=lift_sub,
                 lift_coeff=lift_coeff,
                 quad_degree=qd,
+                p_stab=float(cfg.get("p_stab", 0.0)),
             )
             blocks.append(
                 CellBlock(
@@ -222,6 +241,7 @@ class FSISystem:
                 jac_chunk=int(cfg.get("jac_chunk", 8192)),
                 overlap=int(cfg.get("ras_overlap", 2)),
                 jac_dtype=str(cfg.get("jac_dtype", "f32")),
+                krylov_dtype=cfg.get("krylov_dtype"),
                 precond=str(cfg.get("precond", "banded")),
             )
             import dataclasses as _dc
@@ -251,7 +271,8 @@ class FSISystem:
         )
         for k, v in opts.items():
             setattr(options, k, v)
-        return NewtonSolver(self.assembler, bc_set, options)
+        return NewtonSolver(self.assembler, bc_set, options,
+                            lift=self.lift)
 
     def zero_state(self):
         return jnp.zeros(self.space.ndof)

@@ -21,6 +21,13 @@ _X64 = os.environ.get("VASP_TPU_X64", "1") != "0"
 def ensure_x64() -> None:
     if _X64:
         jax.config.update("jax_enable_x64", True)
+    # TPU f32 matmuls default to bf16-precision multiplies (eps ~8e-3):
+    # measured to floor the f32 Krylov solve at ~1e-3 relative residual
+    # where true-f32 arithmetic (CPU) reaches 1e-6. HIGHEST keeps f32
+    # matmuls exact (multi-pass); the hot matvec is HBM-bound so the extra
+    # MXU passes are invisible, and intentionally-bf16 data (banded
+    # factors) is unaffected (precision config applies to f32 inputs).
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def default_float():
