@@ -322,10 +322,14 @@ class IterativeStepper:
         import scipy.sparse as sp
 
         if self._precond == "banded":
-            dr, dc, Sinv, H, G = self._rebuild_banded(U, U0,
-                                                      self._blocks_dev)
+            # free the PREVIOUS factors first: at full bench size they are
+            # ~8 GB and holding them through the new assembly (another
+            # ~10 GB of C/D/B) OOMs the 16 GB chip on the second rebuild
+            self._pinv = None
+            dr, dc, *factors = self._rebuild_banded(U, U0,
+                                                    self._blocks_dev)
             self._dr, self._dc = dr, dc
-            self._pinv = (Sinv, H, G)
+            self._pinv = tuple(factors)
             self._last_rebuild = tstep
             return
 
