@@ -124,6 +124,9 @@ def _spectral_parser(prog):
         p.add_argument("--min-color", type=float, default=None)
         p.add_argument("--max-color", type=float, default=None)
         p.add_argument("--n-chroma", type=int, default=24)
+        p.add_argument("--sonify", action="store_true",
+                       help="also export the first sampled point's series "
+                            "as WAV (reference: spectrograms.py:817-852)")
     return _folder_parser(prog, extra)
 
 
@@ -167,6 +170,14 @@ def create_spectrograms_chromagrams(argv=None):
         args.lowcut, cmin, cmax, out, ylim=args.ylim,
         n_chroma=args.n_chroma,
     )
+    if args.sonify and len(data):
+        from vasp_tpu.postprocessing.spectral.core import sonify
+
+        fs_data = fs
+        wav = out / f"{args.quantity}_point0.wav"
+        sonify(data[0], fs_audio=max(8000, int(20 * fs_data)), path=wav,
+               fs_data=fs_data)
+        print(f"Sonified point 0 to {wav}")
     print(f"Spectrograms written to {out}")
 
 

@@ -220,6 +220,7 @@ class NewtonSolver:
         no_progress = 0
         it = 0
         converged = False
+        last_stall_rebuild = -10
         while it < opt.max_it:
             need_rebuild = (
                 self.state.jacs is None
@@ -232,10 +233,17 @@ class NewtonSolver:
                 # safeguard beyond the reference's fixed reuse cadence: a
                 # reused (chord) Jacobian can yield ASCENT directions on
                 # strongly nonlinear steps — rebuild as soon as the residual
-                # stops decreasing
-                or (stalled and self.state.iters_since_rebuild > 0)
+                # stops decreasing. BUT: if a FRESH Jacobian also stalls
+                # (a genuine nonlinear valley, e.g. the predeform pressure
+                # phase — line search crawls at ~0.9/iter with EXACT J),
+                # re-rebuilding every iteration only burns factorizations;
+                # allow at most one stall-rebuild per 3 iterations.
+                or (stalled and self.state.iters_since_rebuild > 0
+                    and it - last_stall_rebuild >= 3)
             )
             if need_rebuild:
+                if stalled:
+                    last_stall_rebuild = it
                 self._rebuild(U, U0, tstep)
 
             R = self._residual(U, U0, load)

@@ -315,8 +315,14 @@ def _sharded_factorize(Cl, Dl, Bl, axis, plan):
     G = jnp.zeros((c, c), jnp.float32)
     Sinv = jnp.zeros((nb_loc, c, c), jnp.bfloat16)
     for p in range(n):
-        Gp, Sp = scan_fn(G)
+        # lax.cond: ONLY the active device runs its scan this phase (under
+        # shard_map the predicate is per-device, so inactive devices skip
+        # the O(nb_loc c^3) work — n x redundancy otherwise)
         mine = idx == p
+        Gp, Sp = jax.lax.cond(
+            mine, scan_fn,
+            lambda g: (jnp.zeros((c, c), jnp.float32),
+                       jnp.zeros((nb_loc, c, c), jnp.bfloat16)), G)
         Sinv = jnp.where(mine, Sp, Sinv)
         carry = jnp.where(mine, Gp, 0.0)
         if p < n - 1:
@@ -352,8 +358,11 @@ def make_sharded_banded_apply(plan: ShardPlan, axis):
         w0 = jnp.zeros(c, jnp.float32)
         w = jnp.zeros((nb_loc, c), jnp.float32)
         for p in range(n):
-            wp_last, wp = fwd_scan(w0)
             mine = idx == p
+            wp_last, wp = jax.lax.cond(
+                mine, fwd_scan,
+                lambda g: (jnp.zeros(c, jnp.float32),
+                           jnp.zeros((nb_loc, c), jnp.float32)), w0)
             w = jnp.where(mine, wp, w)
             carry = jnp.where(mine, wp_last, 0.0)
             if p < n - 1:
@@ -371,8 +380,11 @@ def make_sharded_banded_apply(plan: ShardPlan, axis):
         x0 = jnp.zeros(c, jnp.float32)
         x = jnp.zeros((nb_loc, c), jnp.float32)
         for p in range(n - 1, -1, -1):
-            xp_first, xp = bwd_scan(x0)
             mine = idx == p
+            xp_first, xp = jax.lax.cond(
+                mine, bwd_scan,
+                lambda g: (jnp.zeros(c, jnp.float32),
+                           jnp.zeros((nb_loc, c), jnp.float32)), x0)
             x = jnp.where(mine, xp, x)
             carry = jnp.where(mine, xp_first, 0.0)
             if p > 0:

@@ -90,6 +90,15 @@ def get_spectrogram(data, fs, n_window, overlap_frac=0.75,
     freqs = np.fft.rfftfreq(nfft, 1.0 / fs)
     bins = (nperseg / 2 + step * np.arange(nframes)) / fs
     Pxx[Pxx < 0] = 1e-16
+    if interpolate and Pxx.shape[1] > 3 and Pxx.shape[0] > 3:
+        # smooth-display interpolation onto a 4x denser time axis
+        # (reference: spectrograms.py:465-468 RectBivariateSpline option)
+        from scipy.interpolate import RectBivariateSpline
+
+        spl = RectBivariateSpline(freqs, bins, Pxx)
+        bins_i = np.linspace(bins[0], bins[-1], 4 * len(bins))
+        Pxx = np.maximum(spl(freqs, bins_i), 1e-16)
+        bins = bins_i
     return Pxx, freqs, bins
 
 

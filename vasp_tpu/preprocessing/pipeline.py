@@ -147,23 +147,80 @@ def read_command_line(argv=None):
     p.add_argument("--no-flatten", action="store_true")
     p.add_argument("--n-probes", type=int, default=10)
     p.add_argument("--mean-inflow-rate", type=float, default=None)
+    p.add_argument("--scale-factor", type=float, default=1.0,
+                   help="coordinate scale applied to surface input "
+                        "(e.g. 1e-3 for mm -> m; reference -sc flag)")
     # accepted-for-compat VMTK flags
     p.add_argument("--meshing-method", default="diameter")
     p.add_argument("--smoothing-method", default="no_smooth")
-    p.add_argument("--solid-thickness", default="constant")
+    p.add_argument("--solid-thickness", default="constant",
+                   help="'constant'/'variable' (fraction of local radius) "
+                        "or a number (absolute thickness, input units)")
     return p.parse_args(argv)
+
+
+def run_surface_pre_processing(input_model, mesh_path, n_z=40, n_theta=16,
+                               n_r_fluid=3, n_r_solid=1,
+                               solid_thickness=None, thickness_frac=0.25,
+                               scale_factor=1.0, flatten_boundaries=True,
+                               n_probes=10, mean_inflow_rate=None,
+                               verbose=True):
+    """STL surface -> two-domain FSI mesh + the same metadata artifacts as
+    the parametric path (reference pipeline stage P1 surface mode +
+    P3 meshing; vasp_tpu/preprocessing/surface_mesh.py docstring for the
+    structured reparameterization design)."""
+    from vasp_tpu.preprocessing.surface_mesh import surface_fsi_mesh
+
+    mesh_path = Path(mesh_path)
+    mesh_path.parent.mkdir(parents=True, exist_ok=True)
+    mesh = surface_fsi_mesh(
+        input_model, n_z=n_z, n_theta=n_theta, n_r_fluid=n_r_fluid,
+        n_r_solid=n_r_solid, solid_thickness=solid_thickness,
+        thickness_frac=thickness_frac, scale_factor=scale_factor,
+    )
+    if flatten_boundaries:
+        mesh = check_flatten_boundary(mesh, markers=(2, 3))
+    if verbose:
+        print(f"Number of nodes: {mesh.num_vertices}")
+        print(f"Number of cells: {mesh.num_cells}")
+    write_vasp_mesh(mesh_path, mesh)
+    edge_lengths = edge_length_evaluator(mesh)
+    if verbose:
+        print(f"Mean edge length: {edge_lengths.mean():.6e}")
+    space = DVPSpace(mesh)
+    inlet = BoundaryMeasure(space, 2)
+    outlets = BoundaryMeasure(space, 3)
+    area_ratio = [outlets.area / max(inlet.area, 1e-300)]
+    write_mesh_info(
+        mesh_path,
+        inlet_area=inlet.area,
+        mean_inflow_rate=mean_inflow_rate,
+        area_ratios=area_ratio,
+        mean_edge_length=float(edge_lengths.mean()),
+    )
+    probes = generate_probe_points(mesh, n_probes=n_probes)
+    write_probe_points(mesh_path, probes)
+    return mesh
 
 
 def main_meshing(argv=None):
     args = read_command_line(argv)
     if args.input_model and args.input_model != "parametric":
-        if not _have_vtk():
-            raise SystemExit(
-                "Surface-based meshing requires vtk/vmtk, which are not "
-                "available in this environment; use the parametric backend "
-                "(--input-model parametric) or pre-built meshes."
-            )
-        raise SystemExit("vtk surface pipeline not yet wired")
+        # surface-based two-domain meshing (STL; numpy-only — the
+        # reference's VMTK/TetGen stage rebuilt in surface_mesh.py)
+        thickness = (None if args.solid_thickness in ("constant", "variable")
+                     else float(args.solid_thickness))
+        run_surface_pre_processing(
+            args.input_model, args.mesh_path,
+            n_z=args.n_z, n_theta=args.n_theta,
+            n_r_fluid=args.n_r_fluid, n_r_solid=args.n_r_solid,
+            solid_thickness=thickness,
+            scale_factor=args.scale_factor,
+            flatten_boundaries=not args.no_flatten,
+            n_probes=args.n_probes,
+            mean_inflow_rate=args.mean_inflow_rate,
+        )
+        return
     geometry = args.geometry
     sev = args.stenosis_severity or (0.5 if geometry == "stenosis" else 0.0)
     blg = args.bulge or (0.8 if geometry == "aneurysm" else 0.0)
