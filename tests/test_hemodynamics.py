@@ -41,9 +41,8 @@ def test_tawss_poiseuille(pipe_wss):
     z = tables.boundary_coords[:, 2]
     wall_sel &= (z > 0.1) & (z < L - 0.1)
     avg = tau_mag[wall_sel].mean()
-    # the polygonal (24-gon) wall slightly underestimates the circular-wall
-    # gradient; the reference tolerance band is 1.95..2.05
-    assert 1.90 < avg < 2.10, avg
+    # the reference's tolerance band (tests/test_compute_hemodynamics.py:73)
+    assert 1.95 < avg < 2.05, avg
 
 
 def test_osi_bounds(pipe_wss):

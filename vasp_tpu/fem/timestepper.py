@@ -404,9 +404,12 @@ class IterativeStepper:
 
             kf32 = opt.krylov_dtype == "f32"
 
-            def newton_update(U):
+            def newton_update(U, R):
                 # fresh Jacobian each iteration (true Newton); only the RAS
-                # preconditioner is reused across iterations and steps
+                # preconditioner is reused across iterations and steps.
+                # R: the CURRENT residual vector (carried through the loop —
+                # the f64 residual is ~1 s at full bench size, the step's
+                # dominant cost, so it is evaluated ONCE per iteration)
                 jacs = asm.element_jacobians(U, U0, chunk=opt.jac_chunk,
                                              dtype=jdtype)
                 wdt = jnp.float32 if kf32 else jnp.float64
@@ -419,7 +422,7 @@ class IterativeStepper:
                         y = y + lift_term(t).astype(wdt)
                     return jnp.where(mask, x, drw * y)
 
-                Rs = (dr * residual_raw(U)).astype(wdt)
+                Rs = (dr * R).astype(wdt)
                 y, _ = gmres(
                     matvec, Rs, M=precond, restart=opt.gmres_restart,
                     cycles=max(1, opt.gmres_maxiter // opt.gmres_restart),
@@ -427,21 +430,39 @@ class IterativeStepper:
                 )
                 return dc * y.astype(jnp.float64)
 
-            r0 = jnp.linalg.norm(residual_raw(U1))
+            R0 = residual_raw(U1)
+            r0 = jnp.linalg.norm(R0)
             r0_safe = jnp.where(r0 > 0, r0, 1.0)
 
             def cond(carry):
-                U, it, rnorm, stall, Ub, rb = carry
+                U, it, R, rnorm, stall, Ub, rb = carry
                 return ((it < opt.max_it) & (rnorm > opt.atol)
                         & (rnorm / r0_safe > opt.rtol) & (stall < 2))
 
             def body(carry):
-                U, it, rnorm, stall, Ub, rb = carry
-                dx = newton_update(U)
-                U, rn = _damped_update(
-                    U, dx, lambda Ut: jnp.linalg.norm(residual_raw(Ut)),
-                    rnorm, opt.lmbda,
-                )
+                U, it, R, rnorm, stall, Ub, rb = carry
+                dx = newton_update(U, R)
+                # full-step-first: near the root exact Newton descends with
+                # the full step — ONE residual eval; the halving search
+                # (with one re-eval of the winning vector) only runs when
+                # the full step fails to decrease the residual
+                Ufull = U - opt.lmbda * dx
+                Rfull = residual_raw(Ufull)
+                rfull = jnp.linalg.norm(Rfull)
+
+                def accept(_):
+                    return Ufull, Rfull, rfull
+
+                def search(_):
+                    Us, rs = _backtrack_update(
+                        U, dx,
+                        lambda Ut: jnp.linalg.norm(residual_raw(Ut)),
+                        opt.lmbda,
+                    )
+                    return Us, residual_raw(Us), rs
+
+                good = jnp.isfinite(rfull) & (rfull < rnorm)
+                U, R, rn = jax.lax.cond(good, accept, search, None)
                 # residual not decreasing (line-searched): count a stall —
                 # two in a row exits early so the host can rebuild the
                 # preconditioner instead of burning max_it iterations
@@ -451,10 +472,10 @@ class IterativeStepper:
                 better = rn < rb
                 Ub = jnp.where(better, U, Ub)
                 rb = jnp.where(better, rn, rb)
-                return (U, it + 1, rn, stall, Ub, rb)
+                return (U, it + 1, R, rn, stall, Ub, rb)
 
-            _, iters, _, stall, U, rnorm = jax.lax.while_loop(
-                cond, body, (U1, 0, r0, 0, U1, r0))
+            _, iters, _, _, stall, U, rnorm = jax.lax.while_loop(
+                cond, body, (U1, 0, R0, r0, 0, U1, r0))
             return U, dict(iterations=iters, residual=rnorm, r0=r0,
                            stalled=stall >= 2)
 

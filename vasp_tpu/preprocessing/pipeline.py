@@ -150,6 +150,9 @@ def read_command_line(argv=None):
     p.add_argument("--scale-factor", type=float, default=1.0,
                    help="coordinate scale applied to surface input "
                         "(e.g. 1e-3 for mm -> m; reference -sc flag)")
+    p.add_argument("--add-flowextensions", type=float, default=0.0,
+                   help="extend inlet/outlet by N local diameters "
+                        "(reference -fli/-flo flags)")
     # accepted-for-compat VMTK flags
     p.add_argument("--meshing-method", default="diameter")
     p.add_argument("--smoothing-method", default="no_smooth")
@@ -162,7 +165,8 @@ def read_command_line(argv=None):
 def run_surface_pre_processing(input_model, mesh_path, n_z=40, n_theta=16,
                                n_r_fluid=3, n_r_solid=1,
                                solid_thickness=None, thickness_frac=0.25,
-                               scale_factor=1.0, flatten_boundaries=True,
+                               scale_factor=1.0, flow_extensions=0.0,
+                               flatten_boundaries=True,
                                n_probes=10, mean_inflow_rate=None,
                                verbose=True):
     """STL surface -> two-domain FSI mesh + the same metadata artifacts as
@@ -177,6 +181,7 @@ def run_surface_pre_processing(input_model, mesh_path, n_z=40, n_theta=16,
         input_model, n_z=n_z, n_theta=n_theta, n_r_fluid=n_r_fluid,
         n_r_solid=n_r_solid, solid_thickness=solid_thickness,
         thickness_frac=thickness_frac, scale_factor=scale_factor,
+        flow_extensions=flow_extensions,
     )
     if flatten_boundaries:
         mesh = check_flatten_boundary(mesh, markers=(2, 3))
@@ -216,6 +221,7 @@ def main_meshing(argv=None):
             n_r_fluid=args.n_r_fluid, n_r_solid=args.n_r_solid,
             solid_thickness=thickness,
             scale_factor=args.scale_factor,
+            flow_extensions=args.add_flowextensions,
             flatten_boundaries=not args.no_flatten,
             n_probes=args.n_probes,
             mean_inflow_rate=args.mean_inflow_rate,

@@ -301,9 +301,39 @@ def surface_tube_parameterization(V, F, n_z=40, n_theta=16):
     return centers, e1, e2, r
 
 
+def add_flow_extensions(centers, e1, e2, r, ext_diams=2.0):
+    """Extend the tube along the end tangents by ext_diams local diameters
+    with frozen end cross-sections (the reference's add_flow_extension
+    stage, preprocessing.py:336-384 — straight inflow/outflow segments so
+    BCs sit away from the region of interest)."""
+    n_z = len(centers) - 1
+    dz = np.linalg.norm(np.diff(centers, axis=0), axis=1).mean()
+    for end in (0, -1):
+        d_mean = 2.0 * r[end].mean()
+        n_ext = max(1, int(round(ext_diams * d_mean / max(dz, 1e-12))))
+        tang = (centers[1] - centers[0]) if end == 0 else (
+            centers[-1] - centers[-2])
+        tang = tang / max(np.linalg.norm(tang), 1e-30)
+        steps = dz * np.arange(1, n_ext + 1)[:, None]
+        if end == 0:
+            new_c = centers[0][None, :] - steps[::-1] * tang
+            centers = np.concatenate([new_c, centers], axis=0)
+            r = np.concatenate([np.tile(r[0], (n_ext, 1)), r], axis=0)
+            e1 = np.concatenate([np.tile(e1[0], (n_ext, 1)), e1], axis=0)
+            e2 = np.concatenate([np.tile(e2[0], (n_ext, 1)), e2], axis=0)
+        else:
+            new_c = centers[-1][None, :] + steps * tang
+            centers = np.concatenate([centers, new_c], axis=0)
+            r = np.concatenate([r, np.tile(r[-1], (n_ext, 1))], axis=0)
+            e1 = np.concatenate([e1, np.tile(e1[-1], (n_ext, 1))], axis=0)
+            e2 = np.concatenate([e2, np.tile(e2[-1], (n_ext, 1))], axis=0)
+    return centers, e1, e2, r
+
+
 def surface_fsi_mesh(stl_path, n_z=40, n_theta=16, n_r_fluid=3,
                      n_r_solid=1, solid_thickness=None,
-                     thickness_frac=0.25, scale_factor=1.0) -> TetMesh:
+                     thickness_frac=0.25, scale_factor=1.0,
+                     flow_extensions=0.0) -> TetMesh:
     """Two-domain FSI mesh from an STL surface (reference pipeline stage
     P3; marker conventions of preprocessing_common.generate_mesh:
     entity ids 11/22/33, fluid=1/solid=2 after the +1 offset).
@@ -315,6 +345,10 @@ def surface_fsi_mesh(stl_path, n_z=40, n_theta=16, n_r_fluid=3,
     V, F = read_stl(stl_path)
     centers, e1, e2, r = surface_tube_parameterization(
         V, F, n_z=n_z, n_theta=n_theta)
+    if flow_extensions > 0:
+        centers, e1, e2, r = add_flow_extensions(
+            centers, e1, e2, r, ext_diams=flow_extensions)
+        n_z = len(centers) - 1
 
     if solid_thickness is not None:
         thick = np.full_like(r, float(solid_thickness))
