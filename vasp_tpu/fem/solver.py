@@ -144,6 +144,7 @@ class NewtonSolver:
             drn, dcn = _host_ruiz(A, np.asarray(self.bc.mask), sweeps=4)
             A_s = (sp.diags(drn) @ A @ sp.diags(dcn)).tocsc()
             self.state.lu = spla.splu(A_s)
+            self.state.A_s = A_s  # kept for the Levenberg fallback
             self.state.lu_dr = drn
             self.state.lu_dc = dcn
         else:
@@ -294,20 +295,49 @@ class NewtonSolver:
                 return best_U, best_r
 
             dx = self._linear_solve(R)
-            best_U, best_r = backtrack(dx)
-            if (best_U is None or best_r >= res)                     and self.state.iters_since_rebuild > 0:
+            cand_U, cand_r = backtrack(dx)
+            if (cand_U is None or cand_r >= res) \
+                    and self.state.iters_since_rebuild > 0:
                 # no descent with a reused (chord) Jacobian: rebuild and
                 # retry this iteration with the exact tangent
                 self._rebuild(U, U0, tstep)
                 dx = self._linear_solve(self._residual(U, U0, load))
-                best_U, best_r = backtrack(dx)
-            if best_U is None:
+                cand_U, cand_r = backtrack(dx)
+            if (cand_U is None or cand_r >= res) \
+                    and self.opt.linear_solver == "lu" \
+                    and getattr(self.state, "A_s", None) is not None:
+                # Levenberg fallback: no descent along the EXACT Newton
+                # direction (a narrow curved valley — measured on the
+                # stenosis fixture's early Womersley steps, where the line
+                # search otherwise accepts ascent and oscillates). Solve
+                # (A_s + mu I) on the equilibrated system — a trust-region
+                # step in the scaled norm — escalating mu until a descent
+                # direction appears.
+                import scipy.sparse as sp
+                import scipy.sparse.linalg as spla
+
+                n = self.asm.ndof
+                Rnp = self.state.lu_dr * np.asarray(R)
+                for mu in (1e-4, 1e-3, 1e-2, 1e-1):
+                    lu_mu = spla.splu(
+                        (self.state.A_s
+                         + mu * sp.identity(n, format="csc")).tocsc())
+                    dxm = jnp.asarray(self.state.lu_dc * lu_mu.solve(Rnp))
+                    cu, cr = backtrack(dxm)
+                    if cu is not None and cr < 0.999 * res:
+                        cand_U, cand_r = cu, cr
+                        break
+            if cand_U is None:
                 raise RuntimeError(
                     f"Newton line search failed at timestep {tstep}: every "
                     f"damped candidate produced a non-finite residual "
                     f"(residual {res:.3e})"
                 )
-            U = best_U
+            if cand_r >= res and no_progress >= 2:
+                # nothing descends even with exact J + Levenberg: stop
+                # instead of wandering uphill (best state is returned)
+                break
+            U = cand_U
             self.state.iters_since_rebuild += 1
             it += 1
 

@@ -99,6 +99,11 @@ class StepOptions:
     # convergence checks stay f64), well within f32 GMRES reach on the
     # Ruiz-equilibrated system (cond ~4e6)
     krylov_dtype: Optional[str] = None
+    # "f32" computes the residual's ELEMENT work in f32 with f64
+    # accumulation (see Assembler.residual): noise floor ~1e-7 per dof —
+    # use only with atol >= 1e-6 (the tutorial anchor config); default
+    # f64 for tight-tolerance production runs
+    residual_dtype: Optional[str] = None
     ruiz_sweeps: int = 4
     # preconditioner: "banded" (block-tridiagonal direct, fem/banded.py —
     # the production choice; fits HBM at every size and GMRES converges in
@@ -395,9 +400,29 @@ class IterativeStepper:
                 def lift_term(x):
                     return 0.0
 
+            # hybrid residual precision (residual_dtype="f32"): the f32
+            # element-work residual (full MXU rate; f64 is ~8x emulated) is
+            # used in the APPROACH phase, and the exact f64 one once the
+            # norm is within ENDGAME_FACTOR of atol — the f32 noise floor
+            # (~8e-7 at 185k dofs) otherwise makes the last Newton
+            # iterations chase noise (measured: 2 extra iterations with the
+            # converged residual sitting exactly on the floor)
+            hybrid = opt.residual_dtype == "f32"
+            ENDGAME = 30.0 * opt.atol
+
             def residual_raw(U):
                 R = asm.residual(U, U0) + load + lift_term(U)
                 return jnp.where(mask, 0.0, R)
+
+            def residual_f32(U):
+                R = asm.residual(U, U0, dtype=jnp.float32) + load \
+                    + lift_term(U)
+                return jnp.where(mask, 0.0, R)
+
+            def residual_sel(U, fine):
+                if not hybrid:
+                    return residual_raw(U)
+                return jax.lax.cond(fine, residual_raw, residual_f32, U)
 
             def precond(r):
                 return precond_fn(pinv, r)
@@ -430,8 +455,19 @@ class IterativeStepper:
                 )
                 return dc * y.astype(jnp.float64)
 
-            R0 = residual_raw(U1)
-            r0 = jnp.linalg.norm(R0)
+            if hybrid:
+                R0 = residual_f32(U1)
+                r0 = jnp.linalg.norm(R0)
+
+                def _refine(_):
+                    Rf = residual_raw(U1)
+                    return Rf, jnp.linalg.norm(Rf)
+
+                R0, r0 = jax.lax.cond(r0 < ENDGAME, _refine,
+                                      lambda _: (R0, r0), None)
+            else:
+                R0 = residual_raw(U1)
+                r0 = jnp.linalg.norm(R0)
             r0_safe = jnp.where(r0 > 0, r0, 1.0)
 
             def cond(carry):
@@ -442,12 +478,13 @@ class IterativeStepper:
             def body(carry):
                 U, it, R, rnorm, stall, Ub, rb = carry
                 dx = newton_update(U, R)
+                fine = rnorm < ENDGAME
                 # full-step-first: near the root exact Newton descends with
                 # the full step — ONE residual eval; the halving search
                 # (with one re-eval of the winning vector) only runs when
                 # the full step fails to decrease the residual
                 Ufull = U - opt.lmbda * dx
-                Rfull = residual_raw(Ufull)
+                Rfull = residual_sel(Ufull, fine)
                 rfull = jnp.linalg.norm(Rfull)
 
                 def accept(_):
@@ -456,10 +493,10 @@ class IterativeStepper:
                 def search(_):
                     Us, rs = _backtrack_update(
                         U, dx,
-                        lambda Ut: jnp.linalg.norm(residual_raw(Ut)),
+                        lambda Ut: jnp.linalg.norm(residual_sel(Ut, fine)),
                         opt.lmbda,
                     )
-                    return Us, residual_raw(Us), rs
+                    return Us, residual_sel(Us, fine), rs
 
                 good = jnp.isfinite(rfull) & (rfull < rnorm)
                 U, R, rn = jax.lax.cond(good, accept, search, None)

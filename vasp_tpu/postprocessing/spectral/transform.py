@@ -53,11 +53,17 @@ def create_transformed_matrix(folder, quantity="v", start_t=None, end_t=None,
     if quantity in _FIELD_FILE:
         viz = folder / "Visualization"
         name = _FIELD_FILE[quantity]
-        fmt = "VisualisationVector/{}"
     else:
         sub, name = _CKPT_FILE[quantity]
         viz = folder / sub
+    # layout auto-detection: write_checkpoint series carry
+    # FiniteElementFunction items (the reference's output_file_lists
+    # distinction, postprocessing_common.py:91-95)
+    xdmf = (viz / f"{name}.xdmf").read_text()
+    if "FiniteElementFunction" in xdmf:
         fmt = name + "/" + name + "_{}/vector"
+    else:
+        fmt = "VisualisationVector/{}"
     h5s, times, idxs = output_file_lists(viz / f"{name}.xdmf")
     times = np.asarray(times)
     sel = np.arange(len(times))[::stride]
@@ -78,7 +84,7 @@ def create_transformed_matrix(folder, quantity="v", start_t=None, end_t=None,
             if h5s[i] not in cache:
                 cache[h5s[i]] = h5py.File(viz / h5s[i], "r")
             arrays.append(cache[h5s[i]][fmt.format(idxs[i])][:])
-        if quantity in _CKPT_FILE:
+        if quantity in _CKPT_FILE and "FiniteElementFunction" in xdmf:
             # dof metadata for downstream tensor reassembly (reference
             # saves these as dof_info pickles, common.py:401-406)
             f0 = cache[h5s[sel[0]]]

@@ -242,6 +242,7 @@ class FSISystem:
                 overlap=int(cfg.get("ras_overlap", 2)),
                 jac_dtype=str(cfg.get("jac_dtype", "f32")),
                 krylov_dtype=cfg.get("krylov_dtype"),
+                residual_dtype=cfg.get("residual_dtype"),
                 precond=str(cfg.get("precond", "banded")),
             )
             import dataclasses as _dc
