@@ -61,7 +61,7 @@ def test_banded_is_direct_solve(small_fsi):
     diag_flat = jnp.asarray(banded_mod.identity_diag_slots(pat, mask_np))
     Cm, Dm, Bm = banded_mod.assemble_banded(
         asm.blocks, jf, pat, mask, jnp.asarray(pat.iperm), diag_flat)
-    Sinv, H, G = banded_mod.factorize_banded(Cm, Dm, Bm)
+    Sinv, H, G, _err = banded_mod.factorize_banded(Cm, Dm, Bm)
     apply = banded_mod.make_banded_apply(pat)
 
     # forward-error quality vs an f64 direct solve (NOT the composed
@@ -100,7 +100,7 @@ def test_banded_gmres_converges(small_fsi):
     diag_flat = jnp.asarray(banded_mod.identity_diag_slots(pat, mask_np))
     Cm, Dm, Bm = banded_mod.assemble_banded(
         asm.blocks, jf, pat, mask, jnp.asarray(pat.iperm), diag_flat)
-    Sinv, H, G = banded_mod.factorize_banded(Cm, Dm, Bm)
+    Sinv, H, G, _err = banded_mod.factorize_banded(Cm, Dm, Bm)
     apply = banded_mod.make_banded_apply(pat)
 
     b = jnp.where(mask, 0.0, 1.0 + jnp.arange(asm.ndof) % 7 / 7.0)
@@ -147,3 +147,85 @@ def test_stepper_banded_runs(small_fsi):
     U1, stats = stepper.step(U, bcv, load, 1)
     assert bool(jnp.all(jnp.isfinite(U1)))
     assert float(stats["residual"]) < 1e-7 * float(stats["r0"]) + 1e-8
+
+
+def test_f64_escalation_on_ill_conditioned_blocks():
+    """The f32 Schur recursion FAILS on systems whose intermediate Schur
+    complements are ill-conditioned (~1e9 — measured 2.3e9 on the
+    reference's unstructured vmtk fixture offset_stenosis.h5, where the
+    f32 factors gave ||A M r - r||/||r|| = 48 and Newton stalled); the
+    err diagnostic must trip and factorize_banded_f64 must recover a
+    usable M (emulated-f64 recursion, f32 factor storage)."""
+    rng = np.random.default_rng(7)
+    nb, c = 6, 64
+
+    # SCALING-type ill-conditioning (the FEM mode: heterogeneous dof/row
+    # scales drifting through the C S^-1 B updates): well-conditioned
+    # random blocks row-scaled over 4 decades. cond ~1e4 puts dense
+    # random blocks squarely in the bf16-storage failure window
+    # (cond * eps_bf16 ~ 80 useless, cond * eps_f32 ~ 1e-3 fine) — the
+    # production failure mode measured on the vmtk fixture. The
+    # equilibration inside _inv64 cures the scaling; rotation-type
+    # ill-conditioning would not be (no f32-seeded method can).
+    s = np.logspace(0, -4, c)
+
+    def blk(scale):
+        W = rng.standard_normal((c, c)) / np.sqrt(c) + 2.0 * np.eye(c)
+        return scale * s[:, None] * W
+
+    D = np.zeros((nb, c, c))
+    C = np.zeros((nb, c, c))
+    B = np.zeros((nb, c, c))
+    for k in range(nb):
+        D[k] = blk(1.0)
+        if k > 0:
+            C[k] = blk(0.3)
+            B[k - 1] = blk(0.3)
+    # the system under test IS the f32 matrix (what the device assembles);
+    # measuring the f64 originals would just amplify the cast error by
+    # cond ~1e9 and measure nothing about the factorization
+    C = C.astype(np.float32).astype(np.float64)
+    D = D.astype(np.float32).astype(np.float64)
+    B = B.astype(np.float32).astype(np.float64)
+    Cj = jnp.asarray(C, jnp.float32)
+    Dj = jnp.asarray(D, jnp.float32)
+    Bj = jnp.asarray(B, jnp.float32)
+
+    def tri_matvec(Xc, Xd, Xb, xb):
+        y = np.einsum("kab,kb->ka", Xd, xb)
+        y[1:] += np.einsum("kab,kb->ka", Xc[1:], xb[:-1])
+        y[:-1] += np.einsum("kab,kb->ka", Xb[:-1], xb[1:])
+        return y
+
+    b = rng.standard_normal((nb, c))
+
+    def solve_with(Sinv, H, G):
+        # block-Thomas solve in numpy from the factor convention of
+        # make_banded_apply: w_k = Sinv_k r_k - H_k w_{k-1};
+        # x_k = w_k - G_k x_{k+1}
+        Sv = np.asarray(Sinv, np.float64)
+        Hv = np.asarray(H, np.float64)
+        Gv = np.asarray(G, np.float64)
+        w = np.zeros((nb, c))
+        wp = np.zeros(c)
+        for k in range(nb):
+            wp = Sv[k] @ b[k] - Hv[k] @ wp
+            w[k] = wp
+        x = np.zeros((nb, c))
+        xn = np.zeros(c)
+        for k in range(nb - 1, -1, -1):
+            xn = w[k] - Gv[k] @ xn
+            x[k] = xn
+        return np.linalg.norm(tri_matvec(C, D, B, x) - b) / np.linalg.norm(b)
+
+    Sinv, H, G, err = banded_mod.factorize_banded(Cj, Dj, Bj)
+    assert float(err) > 0.2, float(err)  # diagnostic trips
+    rel_bf16 = solve_with(Sinv, H, G)
+
+    Sinv64, H64, G64 = banded_mod.factorize_banded_f64(Cj, Dj, Bj)
+    rel64 = solve_with(Sinv64, H64, G64)
+    assert rel64 < 1e-2, (rel64, rel_bf16)
+    assert rel64 < rel_bf16 / 10
+
+    Sv_low = banded_mod.factorize_banded_f64_lowmem(Cj, Dj, Bj)
+    assert np.allclose(np.asarray(Sv_low), np.asarray(Sinv64), atol=0)

@@ -110,7 +110,7 @@ def test_stall_triggered_rebuild(tube_problem):
     # raw jitted Newton with the STALE preconditioner (no host retry logic)
     U2_stale, info_stale = stepper._newton(
         U1, U1, bcv, 3.0 * load, stepper._dr, stepper._dc, stepper._pinv,
-        stepper._blocks_dev)
+        stepper._blocks_dev, False, stepper.opt.max_it)
     assert bool(info_stale["stalled"]), "fixture no longer stalls"
 
     # the public step(): detects the stall, rebuilds, continues — and with

@@ -108,3 +108,72 @@ def test_generate_mesh_cli_stl(tmp_path):
     m = read_vasp_mesh(out)
     assert set(np.unique(m.cell_markers)) == {1, 2}
     assert {2, 3, 11, 22, 33}.issubset(set(np.unique(m.facet_markers)))
+
+
+@pytest.mark.skipif(not ARTERY.exists(), reason="STL fixtures absent")
+@pytest.mark.parametrize("method", ["laplace", "taubin"])
+def test_smooth_surface(method):
+    """Surface smoothing (reference: preprocessing.py:271-334): reduces
+    surface roughness, pins the open boundary rings, and taubin shrinks
+    less than laplace (windowed-sinc volume preservation property)."""
+    from vasp_tpu.preprocessing.surface_mesh import (
+        boundary_loops, read_stl, remove_caps, smooth_surface)
+
+    V, F = read_stl(ARTERY)
+    if not boundary_loops(F):
+        F = remove_caps(V, F, target_loops=2)
+    loops = boundary_loops(F)
+
+    pinned = np.zeros(len(V), bool)
+    for loop in loops:
+        pinned[loop] = True
+
+    def roughness(X):
+        # umbrella norm: mean |v - mean(neighbors)| over free vertices —
+        # the quantity Laplacian smoothing actually minimizes
+        e = np.concatenate([F[:, [0, 1]], F[:, [1, 2]], F[:, [2, 0]]])
+        e = np.unique(np.sort(e, axis=1), axis=0)
+        s = np.concatenate([e[:, 0], e[:, 1]])
+        t = np.concatenate([e[:, 1], e[:, 0]])
+        deg = np.bincount(s, minlength=len(X)).astype(float)
+        acc = np.zeros_like(X)
+        np.add.at(acc, s, X[t])
+        umb = acc / np.maximum(deg, 1)[:, None] - X
+        return np.linalg.norm(umb[~pinned], axis=1).mean()
+
+    Vs = smooth_surface(V, F, method=method, n_iter=30)
+    assert Vs.shape == V.shape
+    assert np.all(np.isfinite(Vs))
+    # boundary rings pinned exactly
+    for loop in loops:
+        assert np.array_equal(Vs[loop], V[loop])
+    # interior actually moved, and edge-length variation dropped
+    assert np.abs(Vs - V).max() > 0
+    assert roughness(Vs) < roughness(V)
+
+    # no_smooth is the identity
+    assert np.array_equal(smooth_surface(V, F, method="no_smooth"), V)
+
+    if method == "taubin":
+        Vl = smooth_surface(V, F, method="laplace", n_iter=30)
+        c = V.mean(axis=0)
+
+        def mean_r(X):
+            return np.linalg.norm(X - c, axis=1).mean()
+
+        shrink_t = mean_r(V) - mean_r(Vs)
+        shrink_l = mean_r(V) - mean_r(Vl)
+        assert abs(shrink_t) < abs(shrink_l) + 1e-12
+
+
+@pytest.mark.skipif(not TUBE.exists(), reason="STL fixtures absent")
+def test_surface_mesh_smoothing_wired(tmp_path):
+    from vasp_tpu.mesh.io import read_vasp_mesh
+    from vasp_tpu.preprocessing.pipeline import main_meshing
+
+    out = tmp_path / "m" / "t.h5"
+    main_meshing(["-i", str(TUBE), "-o", str(out), "--n-z", "12",
+                  "--n-theta", "10", "--n-r-fluid", "2", "--n-r-solid", "1",
+                  "-sm", "taubin", "-si", "15"])
+    m = read_vasp_mesh(out)
+    assert set(np.unique(m.cell_markers)) == {1, 2}

@@ -160,9 +160,19 @@ def factorize_banded(Cm, D, Bm):
     recursion, and emits Sinv in bf16 (one Newton polish X <- X(2I - S X)
     makes the f32 inverse LU-consistent before rounding); H = Sinv C and
     G = Sinv B follow as batched matmuls once D's block of HBM is free.
-    Peak ~13.7 GB at 185k dofs; factors resident afterwards: ~6 GB."""
+    Peak ~13.7 GB at 185k dofs; factors resident afterwards: ~6 GB.
+
+    Also returns `err` = max_k ||I - S_k cast32(bf16(Sinv_k))||_max — the
+    block inverse quality OF THE STORED (bf16-rounded) factor, which is
+    what the apply actually uses. err ~ blockcond * eps_bf16: small on
+    structured tube meshes (blockcond ~1e5), ~50 on the reference's
+    unstructured vmtk fixtures (blockcond 2.3e9 measured — where bf16
+    rounding alone took ||A M r - r||/||r|| from 1.1e-2 to 48 and stalled
+    Newton). The caller escalates to factorize_banded_f64 (f32 storage)
+    past ~0.2. Costs one extra c^3 matmul per block (~+30%)."""
     nb, c, _ = D.shape
     eye2 = 2.0 * jnp.eye(c, dtype=jnp.float32)
+    eye1 = jnp.eye(c, dtype=jnp.float32)
 
     def step(Gprev, CDB):
         Ck, Dk, Bk = CDB
@@ -170,16 +180,20 @@ def factorize_banded(Cm, D, Bm):
         S = Dk - CG
         Si = jnp.linalg.inv(S)
         Si = Si @ (eye2 - S @ Si)
+        Sib = Si.astype(jnp.bfloat16)
+        e = jnp.max(jnp.abs(
+            jnp.matmul(S, Sib.astype(jnp.float32),
+                       preferred_element_type=jnp.float32) - eye1))
         Gk = jnp.matmul(Si, Bk, preferred_element_type=jnp.float32)
-        return Gk, Si.astype(jnp.bfloat16)
+        return Gk, (Sib, e)
 
     G0 = jnp.zeros((c, c), jnp.float32)
-    _, Sinv = jax.lax.scan(step, G0, (Cm, D, Bm))
+    _, (Sinv, errs) = jax.lax.scan(step, G0, (Cm, D, Bm))
     H = jnp.einsum("kab,kbc->kac", Sinv, Cm,
                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
     G = jnp.einsum("kab,kbc->kac", Sinv, Bm,
                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-    return Sinv, H, G
+    return Sinv, H, G, jnp.max(errs)
 
 
 def factorize_banded_lowmem(Cm, D, Bm):
@@ -187,9 +201,12 @@ def factorize_banded_lowmem(Cm, D, Bm):
     the H/G factors of factorize_banded push the rebuild peak to ~14 GB and
     the chip OOMs; keeping the raw C/B (already resident) and folding the
     H w = Sinv(C w) / G x = Sinv(B x) products into the apply halves the
-    factor memory at the cost of one extra matmul per scan step."""
+    factor memory at the cost of one extra matmul per scan step.
+
+    Returns (Sinv, err) — err as in factorize_banded."""
     nb, c, _ = D.shape
     eye2 = 2.0 * jnp.eye(c, dtype=jnp.float32)
+    eye1 = jnp.eye(c, dtype=jnp.float32)
 
     def step(Gprev, CDB):
         Ck, Dk, Bk = CDB
@@ -197,10 +214,77 @@ def factorize_banded_lowmem(Cm, D, Bm):
         S = Dk - CG
         Si = jnp.linalg.inv(S)
         Si = Si @ (eye2 - S @ Si)
+        Sib = Si.astype(jnp.bfloat16)
+        e = jnp.max(jnp.abs(
+            jnp.matmul(S, Sib.astype(jnp.float32),
+                       preferred_element_type=jnp.float32) - eye1))
         Gk = jnp.matmul(Si, Bk, preferred_element_type=jnp.float32)
-        return Gk, Si.astype(jnp.bfloat16)
+        return Gk, (Sib, e)
 
     G0 = jnp.zeros((c, c), jnp.float32)
+    _, (Sinv, errs) = jax.lax.scan(step, G0, (Cm, D, Bm))
+    return Sinv, jnp.max(errs)
+
+
+def _inv64(S, n_polish=3):
+    """Inverse of one Schur block in emulated f64: row/col max-
+    equilibrate (f64 diagonal scalings), f32-LU seed of the equilibrated
+    block (TPU has f32 LU but no f64 LU/TriangularSolve), then matmul-only
+    Newton polish X <- X(2I - S X) in f64 — each pass squares the error,
+    so seed ~1e-1 (equilibrated blockcond ~1e5-1e6) reaches ~1e-8 in 3.
+
+    The equilibration is what makes the seed usable: the RAW Schur blocks
+    of the reference's unstructured vmtk fixture reach blockcond ~2e9
+    (f32 inv error > 1 — Newton polish diverges)."""
+    rs = 1.0 / jnp.maximum(jnp.max(jnp.abs(S), axis=1), 1e-300)
+    Ss = S * rs[:, None]
+    cs = 1.0 / jnp.maximum(jnp.max(jnp.abs(Ss), axis=0), 1e-300)
+    Ss = Ss * cs[None, :]
+    c = S.shape[0]
+    I2 = 2.0 * jnp.eye(c, dtype=jnp.float64)
+    X = jnp.linalg.inv(Ss.astype(jnp.float32)).astype(jnp.float64)
+    for _ in range(n_polish):
+        X = X @ (I2 - Ss @ X)
+    return cs[:, None] * X * rs[None, :]
+
+
+def factorize_banded_f64(Cm, D, Bm):
+    """Escalation path: the Schur recursion in emulated f64, factors
+    emitted in f32 (f32 STORAGE of exact factors gives apply rel ~5e-4 on
+    the fixture — measured; it is the f32 RECURSION that fails there).
+    ~10-20x the f32 factorization cost (emulated f64 matmuls), paid only
+    when the f32 path's err diagnostic trips — i.e. on unstructured
+    meshes with near-singular intermediate Schur complements."""
+    nb, c, _ = D.shape
+
+    def step(Gprev, CDB):
+        Ck, Dk, Bk = CDB
+        S = Dk.astype(jnp.float64) - Ck.astype(jnp.float64) @ Gprev
+        Si = _inv64(S)
+        Gk = Si @ Bk.astype(jnp.float64)
+        return Gk, Si.astype(jnp.float32)
+
+    G0 = jnp.zeros((c, c), jnp.float64)
+    _, Sinv = jax.lax.scan(step, G0, (Cm, D, Bm))
+    H = jnp.einsum("kab,kbc->kac", Sinv, Cm,
+                   preferred_element_type=jnp.float32)
+    G = jnp.einsum("kab,kbc->kac", Sinv, Bm,
+                   preferred_element_type=jnp.float32)
+    return Sinv, H, G
+
+
+def factorize_banded_f64_lowmem(Cm, D, Bm):
+    """f64-recursion variant of factorize_banded_lowmem (Sinv f32 only)."""
+    nb, c, _ = D.shape
+
+    def step(Gprev, CDB):
+        Ck, Dk, Bk = CDB
+        S = Dk.astype(jnp.float64) - Ck.astype(jnp.float64) @ Gprev
+        Si = _inv64(S)
+        Gk = Si @ Bk.astype(jnp.float64)
+        return Gk, Si.astype(jnp.float32)
+
+    G0 = jnp.zeros((c, c), jnp.float64)
     _, Sinv = jax.lax.scan(step, G0, (Cm, D, Bm))
     return Sinv
 

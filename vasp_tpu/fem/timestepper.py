@@ -299,24 +299,56 @@ class IterativeStepper:
                         Cm, Dm, Bm)
 
             # two-phase rebuild with DONATED banded storage: the
-            # factorization reuses the C/D/B buffers where possible
+            # factorization reuses the C/D/B buffers where possible.
+            # The factorization reports err = worst block-inverse error
+            # of the STORED bf16 factors; past 0.2 they are useless
+            # (measured: M rel 48 on the reference's unstructured vmtk
+            # fixture, Schur blockcond 2.3e9 — bf16 rounding alone is
+            # the failure) and the rebuild escalates PERMANENTLY to the
+            # emulated-f64 recursion with f32 factor storage for this
+            # mesh (apply rel 5.6e-4 measured on the same fixture).
+            self._banded_f64 = False
+            ERR_MAX = 0.2
             if self._banded_lowmem:
                 # keep C/B for the apply; only D is donated (dead after
                 # the Schur scan)
                 factorize_phase = jax.jit(
                     banded_mod.factorize_banded_lowmem, donate_argnums=(1,))
+                factorize_f64 = jax.jit(
+                    banded_mod.factorize_banded_f64_lowmem,
+                    donate_argnums=(1,))
 
                 def rebuild_banded(U, U0, blocks):
                     dr, dc, Cm, Dm, Bm = assemble_phase(U, U0, blocks)
-                    Sinv = factorize_phase(Cm, Dm, Bm)
+                    if not self._banded_f64:
+                        Sinv, err = factorize_phase(Cm, Dm, Bm)
+                        if float(err) <= ERR_MAX:
+                            return dr, dc, Sinv, Cm, Bm
+                        self._banded_f64 = True
+                        print(f"Banded preconditioner: f32 Schur recursion "
+                              f"error {float(err):.1e} - escalating to f64")
+                        del Sinv  # D was donated: re-assemble
+                        dr, dc, Cm, Dm, Bm = assemble_phase(U, U0, blocks)
+                    Sinv = factorize_f64(Cm, Dm, Bm)
                     return dr, dc, Sinv, Cm, Bm
             else:
                 factorize_phase = jax.jit(banded_mod.factorize_banded,
                                           donate_argnums=(0, 1, 2))
+                factorize_f64 = jax.jit(banded_mod.factorize_banded_f64,
+                                        donate_argnums=(0, 1, 2))
 
                 def rebuild_banded(U, U0, blocks):
                     dr, dc, Cm, Dm, Bm = assemble_phase(U, U0, blocks)
-                    Sinv, H, G = factorize_phase(Cm, Dm, Bm)
+                    if not self._banded_f64:
+                        Sinv, H, G, err = factorize_phase(Cm, Dm, Bm)
+                        if float(err) <= ERR_MAX:
+                            return dr, dc, Sinv, H, G
+                        self._banded_f64 = True
+                        print(f"Banded preconditioner: f32 Schur recursion "
+                              f"error {float(err):.1e} - escalating to f64")
+                        del Sinv, H, G  # C/D/B donated: re-assemble
+                        dr, dc, Cm, Dm, Bm = assemble_phase(U, U0, blocks)
+                    Sinv, H, G = factorize_f64(Cm, Dm, Bm)
                     return dr, dc, Sinv, H, G
 
             self._rebuild_banded = rebuild_banded
@@ -385,10 +417,19 @@ class IterativeStepper:
         has_lift = self._lift is not None
 
         @jax.jit
-        def newton(U0, Ustart, bcv, load, dr, dc, pinv, blocks):
+        def newton(U0, Ustart, bcv, load, dr, dc, pinv, blocks,
+                   fine_start, it_cap):
             # U0: previous-timestep state (enters the theta-scheme residual);
             # Ustart: Newton starting point (== U0 normally; mid-Newton best
-            # state when retrying after a stall-triggered rebuild)
+            # state when retrying after a stall-triggered rebuild or
+            # resuming the next host-side chunk).
+            # fine_start: force exact f64 residuals from iteration 0 (host
+            # retry after a coarse-phase stall at the f32 noise floor).
+            # it_cap: TRACED per-dispatch iteration bound — the host chunks
+            # long Newton solves into several short XLA executions (one
+            # 50-iteration f64-heavy program reproducibly crashed the
+            # remote TPU worker, apparently an execution watchdog; chunked
+            # resumption also makes grinding damped steps interruptible)
             asm = asm_of(blocks)
             U1 = jnp.where(mask, bcv, Ustart)
             if has_lift:
@@ -456,29 +497,32 @@ class IterativeStepper:
                 return dc * y.astype(jnp.float64)
 
             if hybrid:
-                R0 = residual_f32(U1)
+                fs = jnp.asarray(fine_start)
+                R0 = residual_sel(U1, fs)
                 r0 = jnp.linalg.norm(R0)
 
                 def _refine(_):
                     Rf = residual_raw(U1)
                     return Rf, jnp.linalg.norm(Rf)
 
-                R0, r0 = jax.lax.cond(r0 < ENDGAME, _refine,
+                R0, r0 = jax.lax.cond(~fs & (r0 < ENDGAME), _refine,
                                       lambda _: (R0, r0), None)
+                fine_init = fs | (r0 < ENDGAME)
             else:
                 R0 = residual_raw(U1)
                 r0 = jnp.linalg.norm(R0)
+                fine_init = jnp.bool_(True)
             r0_safe = jnp.where(r0 > 0, r0, 1.0)
 
             def cond(carry):
-                U, it, R, rnorm, stall, Ub, rb = carry
-                return ((it < opt.max_it) & (rnorm > opt.atol)
+                U, it, R, rnorm, stall, fine, Ub, rb = carry
+                return ((it < it_cap) & (rnorm > opt.atol)
                         & (rnorm / r0_safe > opt.rtol) & (stall < 2))
 
             def body(carry):
-                U, it, R, rnorm, stall, Ub, rb = carry
+                U, it, R, rnorm, stall, fine0, Ub, rb = carry
                 dx = newton_update(U, R)
-                fine = rnorm < ENDGAME
+                fine = fine0 | (rnorm < ENDGAME)
                 # full-step-first: near the root exact Newton descends with
                 # the full step — ONE residual eval; the halving search
                 # (with one re-eval of the winning vector) only runs when
@@ -501,24 +545,63 @@ class IterativeStepper:
                 good = jnp.isfinite(rfull) & (rfull < rnorm)
                 U, R, rn = jax.lax.cond(good, accept, search, None)
                 # residual not decreasing (line-searched): count a stall —
-                # two in a row exits early so the host can rebuild the
-                # preconditioner instead of burning max_it iterations
+                # two in a row exits early so the host can either switch to
+                # exact f64 residuals (a COARSE-phase stall usually means
+                # the f32 noise floor, which is scale-dependent and can sit
+                # ABOVE ENDGAME — measured 8e-5 on the stenosis fixture,
+                # ENDGAME 3e-5) or rebuild the preconditioner, instead of
+                # burning max_it iterations. The escalation decision lives
+                # on the HOST (step()): an extra lax.cond nested in this
+                # body reproducibly crashed the TPU worker (kernel fault).
                 stall = jnp.where(rn > 0.9 * rnorm, stall + 1, 0)
                 # track the best state seen: a stalled tail can otherwise
                 # END on a worse iterate than it started from
                 better = rn < rb
                 Ub = jnp.where(better, U, Ub)
                 rb = jnp.where(better, rn, rb)
-                return (U, it + 1, R, rn, stall, Ub, rb)
+                return (U, it + 1, R, rn, stall, fine, Ub, rb)
 
-            _, iters, _, _, stall, U, rnorm = jax.lax.while_loop(
-                cond, body, (U1, 0, R0, r0, 0, U1, r0))
+            _, iters, _, _, stall, fine_end, U, rnorm = jax.lax.while_loop(
+                cond, body, (U1, 0, R0, r0, 0, fine_init, U1, r0))
             return U, dict(iterations=iters, residual=rnorm, r0=r0,
-                           stalled=stall >= 2)
+                           stalled=stall >= 2, fine=fine_end)
 
         self._newton = newton
 
     # -------------- public --------------
+    # per-dispatch Newton iteration bound: one long XLA program (50
+    # f64-heavy iterations) reproducibly crashed the remote TPU worker
+    # (execution watchdog); 8-iteration chunks with host resumption keep
+    # every dispatch short at one extra residual eval per chunk
+    NEWTON_CHUNK = 8
+
+    def _newton_chunked(self, U0, Ustart, bcv, load, fine_start, it_budget):
+        """Drive self._newton in chunks of NEWTON_CHUNK iterations until
+        convergence, stall, or it_budget. Returns (U, stats) with
+        iterations summed over chunks and r0 from the FIRST chunk (the
+        step's true starting residual)."""
+        U, fine, total, r0_first = Ustart, fine_start, 0, None
+        while True:
+            cap = min(self.NEWTON_CHUNK, it_budget - total)
+            U, stats = self._newton(U0, U, bcv, load, self._dr, self._dc,
+                                    self._pinv, self._blocks_dev,
+                                    fine, cap)
+            it = int(stats["iterations"])
+            total += it
+            if r0_first is None:
+                r0_first = float(stats["r0"])
+            fine = bool(stats["fine"])
+            res = float(stats["residual"])
+            converged = (res <= self.opt.atol
+                         or res <= self.opt.rtol * max(r0_first, 1e-300))
+            if (converged or bool(stats["stalled"]) or it < cap
+                    or total >= it_budget):
+                break
+        stats = dict(stats)
+        stats["iterations"] = total
+        stats["r0"] = r0_first
+        return U, stats
+
     def step(self, U0, bc_values, load, tstep):
         fresh = False
         if (self._pinv is None
@@ -526,12 +609,29 @@ class IterativeStepper:
             U1 = jnp.where(self.mask, bc_values, U0)
             self._rebuild(U1, U0, tstep)
             fresh = True
-        U, stats = self._newton(U0, U0, bc_values, load, self._dr, self._dc,
-                                self._pinv, self._blocks_dev)
+        U, stats = self._newton_chunked(U0, U0, bc_values, load,
+                                        False, self.opt.max_it)
         res = float(stats["residual"])
         r0 = float(stats["r0"])
         converged = (res <= self.opt.atol
                      or res <= self.opt.rtol * max(r0, 1e-300))
+        if (not converged and self.opt.residual_dtype == "f32"
+                and not bool(stats["fine"])):
+            # coarse-phase stall: the f32 residual noise floor is scale-
+            # dependent and can sit ABOVE the ENDGAME switch (measured
+            # 8e-5 vs 3e-5 on the stenosis fixture) — the coarse loop then
+            # grinds noise to the stall exit. Retry from the current state
+            # with exact f64 residuals from iteration 0.
+            print("Newton: coarse-phase stall at the f32 residual floor "
+                  f"({res:.3e}) - retrying with exact residuals", flush=True)
+            it0 = int(stats["iterations"])
+            U, stats = self._newton_chunked(U0, U, bc_values, load,
+                                            True, self.opt.max_it)
+            stats["iterations"] += it0
+            res = float(stats["residual"])
+            r0 = max(r0, float(stats["r0"]))
+            converged = (res <= self.opt.atol
+                         or res <= self.opt.rtol * max(r0, 1e-300))
         if not converged and not fresh:
             # stall-triggered rebuild (NewtonSolver semantics,
             # fem/solver.py: "rebuild as soon as the residual stops
@@ -540,10 +640,10 @@ class IterativeStepper:
             # mid-Newton state and continue from it.
             self._rebuild(U, U0, tstep)
             it0 = int(stats["iterations"])
-            U, stats = self._newton(U0, U, bc_values, load, self._dr,
-                                    self._dc, self._pinv, self._blocks_dev)
-            stats = dict(stats)
-            stats["iterations"] = stats["iterations"] + it0
+            U, stats = self._newton_chunked(U0, U, bc_values, load,
+                                            bool(stats.get("fine", False)),
+                                            self.opt.max_it)
+            stats["iterations"] += it0
         return U, stats
 
 
@@ -558,12 +658,14 @@ class IterativeNewtonSolver:
     problem/__init__.py default_variables; VaSP configs say "mumps")."""
 
     def __init__(self, system, bc_set, step_options: StepOptions,
-                 recompute_tstep: int = 20, verbose: bool = True):
+                 recompute_tstep: int = 20, verbose: bool = True,
+                 raise_on_fail: bool = True):
         self.stepper = IterativeStepper(system, bc_set, step_options,
                                         recompute_tstep=recompute_tstep)
         self.bc = bc_set
         self.opt = step_options
         self.verbose = verbose
+        self.raise_on_fail = raise_on_fail
 
     def solve(self, U, U0, t, tstep, load=None):
         del U  # initial guess is the previous step (reference semantics)
@@ -575,8 +677,21 @@ class IterativeNewtonSolver:
         res = float(stats["residual"])
         r0 = float(stats["r0"])
         rel = res / (r0 if r0 > 0 else 1.0)
+        converged = res <= self.opt.atol or rel <= self.opt.rtol
         if self.verbose:
             print(f"Newton iteration {it}: r (atol) = {res:.3e} "
                   f"(tol = {self.opt.atol:.3e}), r (rel) = {rel:.3e} "
                   f"(tol = {self.opt.rtol:.3e})")
-        return U1, dict(iterations=it, residual=res, rel=rel)
+            if not converged:
+                print(f"WARNING: Newton did not converge at timestep "
+                      f"{tstep} (residual {res:.3e})")
+        # same hard-failure bar as the LU path (fem/solver.py): a state
+        # this far from the manifold must not silently enter the
+        # trajectory (reference: turtleFSI newtonsolver raises past max_it)
+        if (not converged and self.raise_on_fail and rel > 1e-2
+                and res > 100 * self.opt.atol):
+            raise RuntimeError(
+                f"Newton failed at t={t} (tstep {tstep}): residual {res:.3e}"
+                f" rel {rel:.3e} after {it} iterations")
+        return U1, dict(iterations=it, residual=res, rel=rel,
+                        converged=converged)

@@ -292,10 +292,18 @@ def _merge_halo_blockrow(D, Cm, Bm, axis, n):
     return D, Cm, Bm
 
 
-def _sharded_factorize(Cl, Dl, Bl, axis, plan):
+def _sharded_factorize(Cl, Dl, Bl, axis, plan,
+                       factor_dtype=jnp.bfloat16):
     """Phase-sequential block-Thomas across devices: device p scans its
     nb_loc blocks with the carry from p-1 (fem/banded.py factorize_banded
-    math; factors stay sharded — memory / n per chip)."""
+    math; factors stay sharded — memory / n per chip).
+
+    factor_dtype: bf16 default (structured meshes, Schur blockcond ~1e5).
+    Pass jnp.float32 for unstructured meshes: bf16 rounding of the factors
+    fails past blockcond ~1e7 (measured 2.3e9 on the reference's vmtk
+    fixture — see fem/banded.py factorize_banded's err diagnostic; the
+    single-chip path escalates automatically, the sharded path takes the
+    dtype explicitly)."""
     c, n, nb_loc = plan.c, plan.n, plan.nb_loc
     eye2 = 2.0 * jnp.eye(c, dtype=jnp.float32)
 
@@ -307,13 +315,13 @@ def _sharded_factorize(Cl, Dl, Bl, axis, plan):
             Si = jnp.linalg.inv(S)
             Si = Si @ (eye2 - S @ Si)
             Gk = jnp.matmul(Si, Bk, preferred_element_type=jnp.float32)
-            return Gk, Si.astype(jnp.bfloat16)
+            return Gk, Si.astype(factor_dtype)
 
         return jax.lax.scan(step, G0, (Cl, Dl, Bl))
 
     idx = jax.lax.axis_index(axis)
     G = jnp.zeros((c, c), jnp.float32)
-    Sinv = jnp.zeros((nb_loc, c, c), jnp.bfloat16)
+    Sinv = jnp.zeros((nb_loc, c, c), factor_dtype)
     for p in range(n):
         # lax.cond: ONLY the active device runs its scan this phase (under
         # shard_map the predicate is per-device, so inactive devices skip
@@ -322,15 +330,15 @@ def _sharded_factorize(Cl, Dl, Bl, axis, plan):
         Gp, Sp = jax.lax.cond(
             mine, scan_fn,
             lambda g: (jnp.zeros((c, c), jnp.float32),
-                       jnp.zeros((nb_loc, c, c), jnp.bfloat16)), G)
+                       jnp.zeros((nb_loc, c, c), factor_dtype)), G)
         Sinv = jnp.where(mine, Sp, Sinv)
         carry = jnp.where(mine, Gp, 0.0)
         if p < n - 1:
             G = jax.lax.ppermute(carry, axis, [(p, p + 1)])
     H = jnp.einsum("kab,kbc->kac", Sinv, Cl,
-                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                   preferred_element_type=jnp.float32).astype(factor_dtype)
     Gm = jnp.einsum("kab,kbc->kac", Sinv, Bl,
-                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                    preferred_element_type=jnp.float32).astype(factor_dtype)
     return Sinv, H, Gm
 
 

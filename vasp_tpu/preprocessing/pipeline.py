@@ -155,7 +155,12 @@ def read_command_line(argv=None):
                         "(reference -fli/-flo flags)")
     # accepted-for-compat VMTK flags
     p.add_argument("--meshing-method", default="diameter")
-    p.add_argument("--smoothing-method", default="no_smooth")
+    p.add_argument("-sm", "--smoothing-method", default="no_smooth",
+                   choices=["no_smooth", "laplace", "taubin", "voronoi"],
+                   help="surface smoothing before meshing (reference "
+                        "preprocessing.py:271-334; 'voronoi' falls back "
+                        "to taubin — no centerline Voronoi machinery)")
+    p.add_argument("-si", "--smoothing-iterations", type=int, default=25)
     p.add_argument("--solid-thickness", default="constant",
                    help="'constant'/'variable' (fraction of local radius) "
                         "or a number (absolute thickness, input units)")
@@ -167,6 +172,8 @@ def run_surface_pre_processing(input_model, mesh_path, n_z=40, n_theta=16,
                                solid_thickness=None, thickness_frac=0.25,
                                scale_factor=1.0, flow_extensions=0.0,
                                flatten_boundaries=True,
+                               smoothing_method="no_smooth",
+                               smoothing_iterations=25,
                                n_probes=10, mean_inflow_rate=None,
                                verbose=True):
     """STL surface -> two-domain FSI mesh + the same metadata artifacts as
@@ -182,6 +189,9 @@ def run_surface_pre_processing(input_model, mesh_path, n_z=40, n_theta=16,
         n_r_solid=n_r_solid, solid_thickness=solid_thickness,
         thickness_frac=thickness_frac, scale_factor=scale_factor,
         flow_extensions=flow_extensions,
+        smoothing_method=("taubin" if smoothing_method == "voronoi"
+                          else smoothing_method),
+        smoothing_iterations=smoothing_iterations,
     )
     if flatten_boundaries:
         mesh = check_flatten_boundary(mesh, markers=(2, 3))
@@ -223,6 +233,8 @@ def main_meshing(argv=None):
             scale_factor=args.scale_factor,
             flow_extensions=args.add_flowextensions,
             flatten_boundaries=not args.no_flatten,
+            smoothing_method=args.smoothing_method,
+            smoothing_iterations=args.smoothing_iterations,
             n_probes=args.n_probes,
             mean_inflow_rate=args.mean_inflow_rate,
         )

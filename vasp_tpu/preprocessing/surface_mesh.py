@@ -72,6 +72,56 @@ def read_stl(path):
     return V, F[keep]
 
 
+def smooth_surface(V, F, method="laplace", n_iter=25, relaxation=0.5,
+                   passband=0.1):
+    """Surface smoothing of the welded STL (reference:
+    src/vasp/preprocessing/preprocessing.py:271-334 — 'laplace' and
+    'taubin' smoothing of the input surface before meshing; the 'voronoi'
+    mode needs centerline Voronoi machinery and is not provided —
+    surface_tube_parameterization's per-cell radius binning already plays
+    the equivalent low-pass role on this structured path).
+
+    laplace: umbrella-operator relaxation ``v += relaxation * (mean(nbrs)
+    - v)`` — shrinks the surface slightly, like VTK's
+    vtkSmoothPolyDataFilter. taubin: lambda/mu pairs (lambda=relaxation,
+    mu from the passband: 1/lambda - 1/mu = passband) — volume-preserving
+    low-pass, like vtkWindowedSincPolyDataFilter. Open boundary rings are
+    pinned so inlet/outlet geometry is preserved."""
+    if method in (None, "no_smooth") or n_iter <= 0:
+        return V
+    if method not in ("laplace", "taubin"):
+        raise ValueError(f"unknown smoothing method {method!r} "
+                         "(laplace | taubin | no_smooth)")
+    n = len(V)
+    edges = np.concatenate([F[:, [0, 1]], F[:, [1, 2]], F[:, [2, 0]]])
+    edges = np.unique(np.sort(edges, axis=1), axis=0)
+    src = np.concatenate([edges[:, 0], edges[:, 1]])
+    dst = np.concatenate([edges[:, 1], edges[:, 0]])
+    deg = np.bincount(src, minlength=n).astype(np.float64)
+    deg[deg == 0] = 1.0
+    free = np.ones(n, bool)
+    loops = boundary_loops(F)
+    if len(loops) < 2:  # capped surface: pin the rings decapping exposes
+        loops = boundary_loops(remove_caps(V, F, target_loops=2))
+    for loop in loops:
+        free[loop] = False
+    lam = float(relaxation)
+    steps = [lam]
+    if method == "taubin":
+        # Taubin passband relation 1/lam + 1/mu = k_pb with mu < 0: the
+        # negative pass un-shrinks what the positive pass contracted
+        mu = 1.0 / (float(passband) - 1.0 / lam)
+        steps = [lam, mu]
+    X = V.copy()
+    for _ in range(int(n_iter)):
+        for s in steps:
+            nbr_sum = np.zeros_like(X)
+            np.add.at(nbr_sum, src, X[dst])
+            delta = nbr_sum / deg[:, None] - X
+            X[free] += s * delta[free]
+    return X
+
+
 def boundary_loops(F):
     """Vertex loops of the open boundary (edges used by exactly one tri)."""
     edges = np.concatenate([F[:, [0, 1]], F[:, [1, 2]], F[:, [2, 0]]])
@@ -333,7 +383,8 @@ def add_flow_extensions(centers, e1, e2, r, ext_diams=2.0):
 def surface_fsi_mesh(stl_path, n_z=40, n_theta=16, n_r_fluid=3,
                      n_r_solid=1, solid_thickness=None,
                      thickness_frac=0.25, scale_factor=1.0,
-                     flow_extensions=0.0) -> TetMesh:
+                     flow_extensions=0.0, smoothing_method="no_smooth",
+                     smoothing_iterations=25) -> TetMesh:
     """Two-domain FSI mesh from an STL surface (reference pipeline stage
     P3; marker conventions of preprocessing_common.generate_mesh:
     entity ids 11/22/33, fluid=1/solid=2 after the +1 offset).
@@ -343,6 +394,13 @@ def surface_fsi_mesh(stl_path, n_z=40, n_theta=16, n_r_fluid=3,
     mode). scale_factor: applied to all coordinates at the end (e.g. 1e-3
     for mm -> m, reference scale flag)."""
     V, F = read_stl(stl_path)
+    if smoothing_method not in (None, "no_smooth"):
+        # decap FIRST: smoothing a capped surface blurs the flat endcap
+        # patches remove_caps detects later
+        if len(boundary_loops(F)) < 2:
+            F = remove_caps(V, F, target_loops=2)
+        V = smooth_surface(V, F, method=smoothing_method,
+                           n_iter=smoothing_iterations)
     centers, e1, e2, r = surface_tube_parameterization(
         V, F, n_z=n_z, n_theta=n_theta)
     if flow_extensions > 0:

@@ -191,6 +191,11 @@ def run_simulation(problem, overrides=None):
 
 
 def main(argv=None):
+    # multi-host: join the jax.distributed process group BEFORE any backend
+    # touch (single-process runs are a no-op; reference analogue is the
+    # mpirun rank bootstrap, docs/offset_stenosis.md:183-187)
+    from vasp_tpu.parallel.bootstrap import distributed_init
+    distributed_init()
     problem, overrides = parse_command_line(argv)
     run_simulation(problem, overrides)
 

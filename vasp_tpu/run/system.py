@@ -254,6 +254,7 @@ class FSISystem:
                 self, bc_set, sopts,
                 recompute_tstep=int(cfg.get("recompute_tstep", 20)),
                 verbose=bool(cfg.get("verbose", True)),
+                raise_on_fail=bool(cfg.get("raise_on_fail", True)),
             )
         options = NewtonOptions(
             atol=float(cfg.get("atol", 1e-7)),
