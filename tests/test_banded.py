@@ -154,8 +154,8 @@ def test_f64_escalation_on_ill_conditioned_blocks():
     complements are ill-conditioned (~1e9 — measured 2.3e9 on the
     reference's unstructured vmtk fixture offset_stenosis.h5, where the
     f32 factors gave ||A M r - r||/||r|| = 48 and Newton stalled); the
-    err diagnostic must trip and factorize_banded_f64 must recover a
-    usable M (emulated-f64 recursion, f32 factor storage)."""
+    probe-solve diagnostic must trip and factorize_banded_f64 must
+    recover a usable M (emulated-f64 recursion, f32 factor storage)."""
     rng = np.random.default_rng(7)
     nb, c = 6, 64
 
@@ -218,9 +218,13 @@ def test_f64_escalation_on_ill_conditioned_blocks():
             x[k] = xn
         return np.linalg.norm(tri_matvec(C, D, B, x) - b) / np.linalg.norm(b)
 
-    Sinv, H, G, err = banded_mod.factorize_banded(Cj, Dj, Bj)
-    assert float(err) > 0.2, float(err)  # diagnostic trips
+    Sinv, H, G, rel_probe = banded_mod.factorize_banded(Cj, Dj, Bj)
+    # the probe-solve diagnostic trips (threshold 1.0 in the stepper;
+    # structured tubes measure ~1e-2, the vmtk fixture ~48)
+    assert float(rel_probe) > 1.0, float(rel_probe)
     rel_bf16 = solve_with(Sinv, H, G)
+    # the probe agrees with the independent numpy solve-quality measure
+    assert float(rel_probe) > 0.1 * rel_bf16
 
     Sinv64, H64, G64 = banded_mod.factorize_banded_f64(Cj, Dj, Bj)
     rel64 = solve_with(Sinv64, H64, G64)

@@ -108,10 +108,14 @@ def test_stall_triggered_rebuild(tube_problem):
     first_rebuild = stepper._last_rebuild
 
     # raw jitted Newton with the STALE preconditioner (no host retry logic)
-    U2_stale, info_stale = stepper._newton(
+    U2_stale, statv_stale = stepper._newton(
         U1, U1, bcv, 3.0 * load, stepper._dr, stepper._dc, stepper._pinv,
-        stepper._blocks_dev, False, stepper.opt.max_it)
-    assert bool(info_stale["stalled"]), "fixture no longer stalls"
+        stepper._blocks_dev, False, stepper.opt.max_it, False)
+    # statv layout: [iterations, residual, r0, stalled, fine]
+    sv = np.asarray(statv_stale)
+    info_stale = dict(iterations=int(sv[0]), residual=float(sv[1]),
+                      stalled=bool(sv[3]))
+    assert info_stale["stalled"], "fixture no longer stalls"
 
     # the public step(): detects the stall, rebuilds, continues — and with
     # best-state tracking NEVER ends on a worse iterate than the stale run

@@ -152,6 +152,43 @@ def assemble_banded(blocks, jacs, pattern: BandedPattern, bc_mask,
     return Cm, D, Bm
 
 
+def _probe_rel(Cm, D, Bm, Sinv, H, G):
+    """Solve quality of the STORED factors against the banded operator:
+    rel = ||T M b - b|| / ||b|| for a deterministic +-1 probe, where T is
+    the block-tridiagonal matvec of (C, D, B) and M the two-scan apply.
+    This is the metric that actually discriminates broken bf16 factors:
+    measured ~1e-2 on structured tube meshes (which converge) vs ~48 on
+    the reference's unstructured vmtk fixture (which stalls Newton),
+    while the max-entry block-inverse error is 1e2-2e3 on BOTH. O(nb c^2)
+    — one factor read, negligible next to the factorization."""
+    nb, c, _ = D.shape
+    b = jnp.where((jnp.arange(nb * c) % 2) == 0, 1.0, -1.0
+                  ).astype(jnp.float32).reshape(nb, c)
+    t = jnp.einsum("kab,kb->ka", Sinv, b,
+                   preferred_element_type=jnp.float32)
+
+    def fwd(wprev, tH):
+        tk, Hk = tH
+        wk = tk - jnp.matmul(Hk, wprev, preferred_element_type=jnp.float32)
+        return wk, wk
+
+    _, w = jax.lax.scan(fwd, jnp.zeros(c, jnp.float32), (t, H))
+
+    def bwd(xnext, wG):
+        wk, Gk = wG
+        xk = wk - jnp.matmul(Gk, xnext, preferred_element_type=jnp.float32)
+        return xk, xk
+
+    _, x = jax.lax.scan(bwd, jnp.zeros(c, jnp.float32), (w, G),
+                        reverse=True)
+    y = jnp.einsum("kab,kb->ka", D, x, preferred_element_type=jnp.float32)
+    y = y.at[1:].add(jnp.einsum("kab,kb->ka", Cm[1:], x[:-1],
+                                preferred_element_type=jnp.float32))
+    y = y.at[:-1].add(jnp.einsum("kab,kb->ka", Bm[:-1], x[1:],
+                                 preferred_element_type=jnp.float32))
+    return jnp.linalg.norm(y - b) / jnp.linalg.norm(b)
+
+
 def factorize_banded(Cm, D, Bm):
     """Block-Thomas factorization, all-MXU.
 
@@ -162,17 +199,14 @@ def factorize_banded(Cm, D, Bm):
     G = Sinv B follow as batched matmuls once D's block of HBM is free.
     Peak ~13.7 GB at 185k dofs; factors resident afterwards: ~6 GB.
 
-    Also returns `err` = max_k ||I - S_k cast32(bf16(Sinv_k))||_max — the
-    block inverse quality OF THE STORED (bf16-rounded) factor, which is
-    what the apply actually uses. err ~ blockcond * eps_bf16: small on
-    structured tube meshes (blockcond ~1e5), ~50 on the reference's
-    unstructured vmtk fixtures (blockcond 2.3e9 measured — where bf16
-    rounding alone took ||A M r - r||/||r|| from 1.1e-2 to 48 and stalled
-    Newton). The caller escalates to factorize_banded_f64 (f32 storage)
-    past ~0.2. Costs one extra c^3 matmul per block (~+30%)."""
+    Also returns `rel`, the _probe_rel solve quality of the stored bf16
+    factors — the caller escalates to factorize_banded_f64 (f32 storage)
+    when rel exceeds ~1 (bf16 rounding of the factors collapses on the
+    near-singular Schur chains of unstructured vmtk meshes, measured
+    rel ~48 on the reference stenosis fixture; structured tubes sit at
+    ~1e-2 and never escalate)."""
     nb, c, _ = D.shape
     eye2 = 2.0 * jnp.eye(c, dtype=jnp.float32)
-    eye1 = jnp.eye(c, dtype=jnp.float32)
 
     def step(Gprev, CDB):
         Ck, Dk, Bk = CDB
@@ -180,20 +214,16 @@ def factorize_banded(Cm, D, Bm):
         S = Dk - CG
         Si = jnp.linalg.inv(S)
         Si = Si @ (eye2 - S @ Si)
-        Sib = Si.astype(jnp.bfloat16)
-        e = jnp.max(jnp.abs(
-            jnp.matmul(S, Sib.astype(jnp.float32),
-                       preferred_element_type=jnp.float32) - eye1))
         Gk = jnp.matmul(Si, Bk, preferred_element_type=jnp.float32)
-        return Gk, (Sib, e)
+        return Gk, Si.astype(jnp.bfloat16)
 
     G0 = jnp.zeros((c, c), jnp.float32)
-    _, (Sinv, errs) = jax.lax.scan(step, G0, (Cm, D, Bm))
+    _, Sinv = jax.lax.scan(step, G0, (Cm, D, Bm))
     H = jnp.einsum("kab,kbc->kac", Sinv, Cm,
                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
     G = jnp.einsum("kab,kbc->kac", Sinv, Bm,
                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-    return Sinv, H, G, jnp.max(errs)
+    return Sinv, H, G, _probe_rel(Cm, D, Bm, Sinv, H, G)
 
 
 def factorize_banded_lowmem(Cm, D, Bm):
@@ -203,10 +233,12 @@ def factorize_banded_lowmem(Cm, D, Bm):
     H w = Sinv(C w) / G x = Sinv(B x) products into the apply halves the
     factor memory at the cost of one extra matmul per scan step.
 
-    Returns (Sinv, err) — err as in factorize_banded."""
+    No quality probe here: lowmem-scale problems do not escalate (the
+    emulated-f64 factorization at this size is a measured OOM), and the
+    probe would extend D's lifetime past the scan, raising the peak this
+    variant exists to lower."""
     nb, c, _ = D.shape
     eye2 = 2.0 * jnp.eye(c, dtype=jnp.float32)
-    eye1 = jnp.eye(c, dtype=jnp.float32)
 
     def step(Gprev, CDB):
         Ck, Dk, Bk = CDB
@@ -214,16 +246,12 @@ def factorize_banded_lowmem(Cm, D, Bm):
         S = Dk - CG
         Si = jnp.linalg.inv(S)
         Si = Si @ (eye2 - S @ Si)
-        Sib = Si.astype(jnp.bfloat16)
-        e = jnp.max(jnp.abs(
-            jnp.matmul(S, Sib.astype(jnp.float32),
-                       preferred_element_type=jnp.float32) - eye1))
         Gk = jnp.matmul(Si, Bk, preferred_element_type=jnp.float32)
-        return Gk, (Sib, e)
+        return Gk, Si.astype(jnp.bfloat16)
 
     G0 = jnp.zeros((c, c), jnp.float32)
-    _, (Sinv, errs) = jax.lax.scan(step, G0, (Cm, D, Bm))
-    return Sinv, jnp.max(errs)
+    _, Sinv = jax.lax.scan(step, G0, (Cm, D, Bm))
+    return Sinv
 
 
 def _inv64(S, n_polish=3):

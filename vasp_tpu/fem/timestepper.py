@@ -222,6 +222,13 @@ class IterativeStepper:
         self._dr = None
         self._dc = None
         self._jacs = None
+        # last escalation tier (rebuild-at-current-state + exact retry)
+        # is disabled on the axon remote TPU worker: its allocator
+        # reliably crashes/OOMs on the mid-step rebuild churn after the
+        # ladder (~10 GB cumulative; measured on the reference stenosis
+        # fixture, CLAUDE.md) — there the run keeps the best state and
+        # warns instead
+        self._rebuild_on_exact_stall = jax.default_backend() == "cpu"
 
         opt = options
         n_sub = opt.n_subdomains or max(2, self.ndof // 1500)
@@ -308,28 +315,28 @@ class IterativeStepper:
             # emulated-f64 recursion with f32 factor storage for this
             # mesh (apply rel 5.6e-4 measured on the same fixture).
             self._banded_f64 = False
-            ERR_MAX = 0.2
+            # probe-solve quality threshold (banded_mod._probe_rel):
+            # measured ~1e-2 on structured tubes (bf16 factors fine, all
+            # bench sizes) vs ~48 on the reference's unstructured vmtk
+            # stenosis fixture (bf16 collapse -> Newton stall). The
+            # max-entry block-inverse error does NOT discriminate
+            # (1e2-2e3 on BOTH classes — measured) and briefly caused
+            # false escalations that OOM'd the full bench.
+            REL_MAX = 1.0
             if self._banded_lowmem:
                 # keep C/B for the apply; only D is donated (dead after
-                # the Schur scan)
+                # the Schur scan). No escalation at lowmem scale: the
+                # emulated-f64 factorization's block temps on top of the
+                # ~13.7 GB f32 peak is a measured OOM (full bench,
+                # c=4488), and the structured meshes that reach this size
+                # have benign Schur conditioning (bf16 factors measured
+                # converging to 1e-10 at 185k dofs).
                 factorize_phase = jax.jit(
                     banded_mod.factorize_banded_lowmem, donate_argnums=(1,))
-                factorize_f64 = jax.jit(
-                    banded_mod.factorize_banded_f64_lowmem,
-                    donate_argnums=(1,))
 
                 def rebuild_banded(U, U0, blocks):
                     dr, dc, Cm, Dm, Bm = assemble_phase(U, U0, blocks)
-                    if not self._banded_f64:
-                        Sinv, err = factorize_phase(Cm, Dm, Bm)
-                        if float(err) <= ERR_MAX:
-                            return dr, dc, Sinv, Cm, Bm
-                        self._banded_f64 = True
-                        print(f"Banded preconditioner: f32 Schur recursion "
-                              f"error {float(err):.1e} - escalating to f64")
-                        del Sinv  # D was donated: re-assemble
-                        dr, dc, Cm, Dm, Bm = assemble_phase(U, U0, blocks)
-                    Sinv = factorize_f64(Cm, Dm, Bm)
+                    Sinv = factorize_phase(Cm, Dm, Bm)
                     return dr, dc, Sinv, Cm, Bm
             else:
                 factorize_phase = jax.jit(banded_mod.factorize_banded,
@@ -340,12 +347,13 @@ class IterativeStepper:
                 def rebuild_banded(U, U0, blocks):
                     dr, dc, Cm, Dm, Bm = assemble_phase(U, U0, blocks)
                     if not self._banded_f64:
-                        Sinv, H, G, err = factorize_phase(Cm, Dm, Bm)
-                        if float(err) <= ERR_MAX:
+                        Sinv, H, G, rel = factorize_phase(Cm, Dm, Bm)
+                        if float(rel) <= REL_MAX:
                             return dr, dc, Sinv, H, G
                         self._banded_f64 = True
-                        print(f"Banded preconditioner: f32 Schur recursion "
-                              f"error {float(err):.1e} - escalating to f64")
+                        print(f"Banded preconditioner: bf16 factor solve "
+                              f"quality {float(rel):.1e} - escalating to "
+                              "f64 factorization", flush=True)
                         del Sinv, H, G  # C/D/B donated: re-assemble
                         dr, dc, Cm, Dm, Bm = assemble_phase(U, U0, blocks)
                     Sinv, H, G = factorize_f64(Cm, Dm, Bm)
@@ -367,6 +375,12 @@ class IterativeStepper:
                                                     self._blocks_dev)
             self._dr, self._dc = dr, dc
             self._pinv = tuple(factors)
+            # sync before enqueueing consumers: a newton program queued
+            # behind the donating factorization reproducibly crashed the
+            # remote TPU worker (the synchronous phase-by-phase bisection
+            # of the same sequence runs clean); the barrier costs nothing
+            # here — the rebuild is already the step's sync point
+            jax.block_until_ready(self._pinv)
             self._last_rebuild = tstep
             return
 
@@ -416,9 +430,11 @@ class IterativeStepper:
 
         has_lift = self._lift is not None
 
-        @jax.jit
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=(10,))
         def newton(U0, Ustart, bcv, load, dr, dc, pinv, blocks,
-                   fine_start, it_cap):
+                   fine_start, it_cap, exact):
             # U0: previous-timestep state (enters the theta-scheme residual);
             # Ustart: Newton starting point (== U0 normally; mid-Newton best
             # state when retrying after a stall-triggered rebuild or
@@ -468,7 +484,17 @@ class IterativeStepper:
             def precond(r):
                 return precond_fn(pinv, r)
 
-            kf32 = opt.krylov_dtype == "f32"
+            # exact (STATIC jit arg): the host's LAST escalation tier —
+            # f64 element Jacobians AND f64 Krylov arithmetic, i.e. the
+            # same direction quality as the LU path. The f32-direction
+            # Newton pins at ~1e-4 on the reference's unstructured
+            # stenosis fixture (measured identically on CPU and TPU;
+            # stall ratio ~0.985/iter; f64 Krylov ALONE does not fix it —
+            # measured 8.36e-5 -> 8.12e-5 — while LU with f64 Jacobians
+            # converges the same steps to 1e-8). Dispatched only when the
+            # f32 tiers stall; compile + memory cost paid on demand.
+            kf32x = (opt.krylov_dtype == "f32") and not exact
+            jdtx = None if exact else jdtype
 
             def newton_update(U, R):
                 # fresh Jacobian each iteration (true Newton); only the RAS
@@ -477,8 +503,8 @@ class IterativeStepper:
                 # the f64 residual is ~1 s at full bench size, the step's
                 # dominant cost, so it is evaluated ONCE per iteration)
                 jacs = asm.element_jacobians(U, U0, chunk=opt.jac_chunk,
-                                             dtype=jdtype)
-                wdt = jnp.float32 if kf32 else jnp.float64
+                                             dtype=jdtx)
+                wdt = jnp.float32 if kf32x else jnp.float64
                 drw, dcw = dr.astype(wdt), dc.astype(wdt)
 
                 def matvec(x):
@@ -489,10 +515,18 @@ class IterativeStepper:
                     return jnp.where(mask, x, drw * y)
 
                 Rs = (dr * R).astype(wdt)
+                # the exact tier gets LU-grade solve effort: the stalls it
+                # is dispatched for can be GMRES stagnation (restarted
+                # f32-era tol/budget under a preconditioner+Ruiz frozen at
+                # the last rebuild), not direction dtype — so tighten tol
+                # and give it 5x the restart cycles
+                gtol = min(opt.gmres_tol, 1e-5) if exact else opt.gmres_tol
+                gcyc = max(1, opt.gmres_maxiter // opt.gmres_restart)
+                if exact:
+                    gcyc *= 5
                 y, _ = gmres(
                     matvec, Rs, M=precond, restart=opt.gmres_restart,
-                    cycles=max(1, opt.gmres_maxiter // opt.gmres_restart),
-                    tol=opt.gmres_tol,
+                    cycles=gcyc, tol=gtol,
                 )
                 return dc * y.astype(jnp.float64)
 
@@ -553,7 +587,14 @@ class IterativeStepper:
                 # burning max_it iterations. The escalation decision lives
                 # on the HOST (step()): an extra lax.cond nested in this
                 # body reproducibly crashed the TPU worker (kernel fault).
-                stall = jnp.where(rn > 0.9 * rnorm, stall + 1, 0)
+                # the exact tier only counts near-zero progress as a
+                # stall (0.98): slow damped tails (~0.9/iter, e.g. the
+                # predeform pressure phase) are REAL convergence that
+                # compounds to atol within max_it — the production tiers
+                # keep the tighter 0.9 exit because their floors are
+                # precision artifacts that never compound
+                sthr = 0.98 if exact else 0.9
+                stall = jnp.where(rn > sthr * rnorm, stall + 1, 0)
                 # track the best state seen: a stalled tail can otherwise
                 # END on a worse iterate than it started from
                 better = rn < rb
@@ -563,8 +604,19 @@ class IterativeStepper:
 
             _, iters, _, _, stall, fine_end, U, rnorm = jax.lax.while_loop(
                 cond, body, (U1, 0, R0, r0, 0, fine_init, U1, r0))
-            return U, dict(iterations=iters, residual=rnorm, r0=r0,
-                           stalled=stall >= 2, fine=fine_end)
+            # stats as ONE stacked f64 vector: the host fetches a single
+            # buffer per dispatch. Five small per-field fetches between
+            # back-to-back Newton dispatches reproducibly crashed the
+            # remote TPU worker (transfer/execute RPC race: the identical
+            # sequence with 1-2 fetches runs clean); one fetch per chunk
+            # is also simply fewer tunnel round-trips
+            statv = jnp.stack([
+                iters.astype(jnp.float64), rnorm.astype(jnp.float64),
+                r0.astype(jnp.float64),
+                (stall >= 2).astype(jnp.float64),
+                fine_end.astype(jnp.float64),
+            ])
+            return U, statv
 
         self._newton = newton
 
@@ -575,32 +627,34 @@ class IterativeStepper:
     # every dispatch short at one extra residual eval per chunk
     NEWTON_CHUNK = 8
 
-    def _newton_chunked(self, U0, Ustart, bcv, load, fine_start, it_budget):
+    def _newton_chunked(self, U0, Ustart, bcv, load, fine_start, it_budget,
+                        exact=False):
         """Drive self._newton in chunks of NEWTON_CHUNK iterations until
         convergence, stall, or it_budget. Returns (U, stats) with
         iterations summed over chunks and r0 from the FIRST chunk (the
-        step's true starting residual)."""
+        step's true starting residual). exact=True selects the
+        f64-Jacobian/f64-Krylov escalation variant (static jit arg —
+        separate cached program, compiled on first use)."""
         U, fine, total, r0_first = Ustart, fine_start, 0, None
         while True:
             cap = min(self.NEWTON_CHUNK, it_budget - total)
-            U, stats = self._newton(U0, U, bcv, load, self._dr, self._dc,
+            U, statv = self._newton(U0, U, bcv, load, self._dr, self._dc,
                                     self._pinv, self._blocks_dev,
-                                    fine, cap)
-            it = int(stats["iterations"])
+                                    fine, cap, exact)
+            sv = np.asarray(statv)  # single device->host fetch per chunk
+            it = int(sv[0])
             total += it
             if r0_first is None:
-                r0_first = float(stats["r0"])
-            fine = bool(stats["fine"])
-            res = float(stats["residual"])
+                r0_first = float(sv[2])
+            fine = bool(sv[4])
+            res = float(sv[1])
             converged = (res <= self.opt.atol
                          or res <= self.opt.rtol * max(r0_first, 1e-300))
-            if (converged or bool(stats["stalled"]) or it < cap
+            if (converged or bool(sv[3]) or it < cap
                     or total >= it_budget):
                 break
-        stats = dict(stats)
-        stats["iterations"] = total
-        stats["r0"] = r0_first
-        return U, stats
+        return U, dict(iterations=total, residual=res, r0=r0_first,
+                       stalled=bool(sv[3]), fine=fine)
 
     def step(self, U0, bc_values, load, tstep):
         fresh = False
@@ -625,6 +679,7 @@ class IterativeStepper:
             print("Newton: coarse-phase stall at the f32 residual floor "
                   f"({res:.3e}) - retrying with exact residuals", flush=True)
             it0 = int(stats["iterations"])
+            res_pre = res
             U, stats = self._newton_chunked(U0, U, bc_values, load,
                                             True, self.opt.max_it)
             stats["iterations"] += it0
@@ -632,6 +687,60 @@ class IterativeStepper:
             r0 = max(r0, float(stats["r0"]))
             converged = (res <= self.opt.atol
                          or res <= self.opt.rtol * max(r0, 1e-300))
+            if not converged and res > 0.9 * res_pre:
+                # exact residuals did not move the stall either: the f32
+                # KRYLOV direction is the floor (measured identically on
+                # CPU and TPU on the stenosis fixture; a same-state
+                # preconditioner rebuild does NOT help — CPU: 8.7e-5 ->
+                # 5.7e-5 after a full rebuild+retry ladder; f64-Krylov
+                # with f32 Jacobians also stalls: 8.36e-5 -> 8.12e-5 — and
+                # on large-bandwidth escalated patterns the rebuild churn
+                # OOM-crashes the TPU worker). Escalate the DIRECTION to
+                # LU-grade: f64 element Jacobians + f64 GMRES (LU
+                # converges these steps to 1e-8, so the system is
+                # solvable — only the direction quality was the floor).
+                if getattr(self, "_banded_lowmem", False):
+                    # f64 jacfwd at lowmem-scale problems is a measured
+                    # OOM (round-1 full-bench failure mode): return the
+                    # best state with the warning instead of the chip
+                    print("Newton: stall persists with exact residuals "
+                          f"({res:.3e}); f64-Jacobian escalation skipped "
+                          "(problem too large for f64 jacfwd)", flush=True)
+                    return U, stats
+                print("Newton: stall persists with exact residuals "
+                      f"({res:.3e}) - escalating to f64 Jacobians",
+                      flush=True)
+                it0 = int(stats["iterations"])
+                U, stats = self._newton_chunked(U0, U, bc_values, load,
+                                                True, self.opt.max_it,
+                                                exact=True)
+                stats["iterations"] += it0
+                res = float(stats["residual"])
+                r0 = max(r0, float(stats["r0"]))
+                converged = (res <= self.opt.atol
+                             or res <= self.opt.rtol * max(r0, 1e-300))
+                if converged or not self._rebuild_on_exact_stall:
+                    # the axon remote TPU worker reliably dies (allocator
+                    # crash/OOM at ~10 GB cumulative churn) on a mid-step
+                    # rebuild after the escalation ladder — on that
+                    # backend, return the best state with the warning
+                    # rather than the whole run (CLAUDE.md)
+                    return U, stats
+                # LAST tier: fresh rebuild AT THE CURRENT STATE + exact
+                # retry. The frozen Ruiz scaling + factors are what
+                # stagnate GMRES on hard transient states (measured: f64
+                # GMRES at tol 1e-5 x600 iterations still cannot deliver
+                # the LU-grade direction under the stale M, while LU with
+                # a fresh factorization converges the same step).
+                print("Newton: rebuilding preconditioner at the current "
+                      "state for the exact retry", flush=True)
+                self._rebuild(U, U0, tstep)
+                it0 = int(stats["iterations"])
+                U, stats = self._newton_chunked(U0, U, bc_values, load,
+                                                True, self.opt.max_it,
+                                                exact=True)
+                stats["iterations"] += it0
+                return U, stats
         if not converged and not fresh:
             # stall-triggered rebuild (NewtonSolver semantics,
             # fem/solver.py: "rebuild as soon as the residual stops
