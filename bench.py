@@ -94,6 +94,15 @@ def measure(size_name):
         # hybrid: f32 element-work residuals in the approach phase,
         # exact f64 below 30x atol (fem/timestepper.py)
         residual_dtype="f32",
+        # NOTE endgame_factor=3.0 was measured SLOWER here (adds a Newton
+        # iteration: coarse updates computed from residuals within ~10x of
+        # the f32 noise floor converge visibly slower, so deferring the
+        # f64 switch costs more iterations than it saves evals)
+        # NOTE predictor="extrapolate" was measured SLOWER here (7.0 vs
+        # 4.95 s/step): the extrapolated start drops r0 below the hybrid
+        # scheme's endgame switch, so every iteration pays the ~1 s
+        # emulated-f64 residual, and the ramped tube's ring transient
+        # keeps the iteration count at 3 anyway
     )
     stepper = IterativeStepper(system, bc_set, opts, recompute_tstep=20)
     U = system.zero_state()

@@ -146,3 +146,82 @@ def test_ras_stepper_f32_jacobian(tube_problem):
                            load=load)
     a, b = np.asarray(U_lu), np.asarray(U_it)
     assert np.allclose(a, b, atol=1e-5 * np.abs(a).max())
+
+
+def test_extrapolation_predictor(tube_problem):
+    """predictor="extrapolate" seeds Newton with 2 U_n - U_{n-1} on
+    consecutive steps. It must (a) converge to the same trajectory as the
+    plain start, and (b) not take more Newton iterations on smooth ramp
+    steps (on the TPU bench it removes one ~1.9 s endgame iteration)."""
+    sys_, bc_set, load = tube_problem
+    U0 = sys_.zero_state()
+    bcv = jnp.asarray(bc_set.values_at(0.001))
+    base = dict(atol=1e-9, rtol=1e-9, max_it=10, gmres_tol=1e-8,
+                gmres_restart=60, gmres_maxiter=600, overlap=2)
+
+    def run(predictor):
+        opts = StepOptions(predictor=predictor, **base)
+        st = IterativeStepper(sys_, bc_set, opts, recompute_tstep=20)
+        U, its = U0, []
+        for k in (1, 2, 3):
+            U, info = st.step(U, bcv, (0.5 + 0.25 * k) * load, tstep=k)
+            its.append(int(info["iterations"]))
+            assert float(info["residual"]) < 1e-8
+        return np.asarray(U), its
+
+    U_plain, its_plain = run("none")
+    U_pred, its_pred = run("extrapolate")
+    scale = np.abs(U_plain).max()
+    assert np.allclose(U_plain, U_pred, atol=1e-6 * scale), (
+        np.abs(U_plain - U_pred).max(), scale)
+    assert sum(its_pred) <= sum(its_plain), (its_pred, its_plain)
+
+
+def test_lowmem_banded_path(tube_problem, monkeypatch):
+    """VASP_FORCE_LOWMEM exercises the full-bench-size code path (Sinv-only
+    factors, C/B folded into the apply as bf16) on the small fixture: it
+    must converge to the LU solution like the default path does."""
+    monkeypatch.setenv("VASP_FORCE_LOWMEM", "1")
+    sys_, bc_set, load = tube_problem
+    U0 = sys_.zero_state()
+    bcv = jnp.asarray(bc_set.values_at(0.001))
+    opts = StepOptions(atol=1e-9, rtol=1e-9, max_it=10, gmres_tol=1e-8,
+                       gmres_restart=60, gmres_maxiter=600, overlap=2)
+    stepper = IterativeStepper(sys_, bc_set, opts, recompute_tstep=20)
+    assert stepper._banded_lowmem
+    U_it, info = stepper.step(U0, bcv, load, tstep=1)
+    assert float(info["residual"]) < 1e-8
+    # the apply-side C/B really are bf16 (the HBM-traffic optimization)
+    Sinv, Cm, Bm = stepper._pinv
+    assert Cm.dtype == jnp.bfloat16 and Bm.dtype == jnp.bfloat16
+
+    solver = sys_.make_solver(bc_set)
+    U_lu, _ = solver.solve(bc_set.apply(U0, 0.001), U0, t=0.001, tstep=1,
+                           load=load)
+    a, b = np.asarray(U_lu), np.asarray(U_it)
+    assert np.allclose(a, b, atol=1e-5 * np.abs(a).max())
+
+
+def test_endgame_factor_certified(tube_problem):
+    """endgame_factor=3 (the bench anchor config): coarse f32 residuals
+    carry Newton almost to atol and one exact evaluation certifies the
+    exit — the result must still match the LU trajectory, and the final
+    reported residual must be f64-certified (stats['fine'])."""
+    sys_, bc_set, load = tube_problem
+    U0 = sys_.zero_state()
+    bcv = jnp.asarray(bc_set.values_at(0.001))
+    opts = StepOptions(atol=1e-6, rtol=1e-6, max_it=10, gmres_tol=1e-3,
+                       gmres_restart=60, gmres_maxiter=120, overlap=2,
+                       jac_dtype="f32", krylov_dtype="f32",
+                       residual_dtype="f32", endgame_factor=3.0)
+    stepper = IterativeStepper(sys_, bc_set, opts, recompute_tstep=20)
+    U_it, info = stepper.step(U0, bcv, load, tstep=1)
+    assert float(info["residual"]) <= 1e-6
+    assert bool(info["fine"]), "exit residual must be f64-certified"
+
+    solver = sys_.make_solver(bc_set)
+    U_lu, _ = solver.solve(bc_set.apply(U0, 0.001), U0, t=0.001, tstep=1,
+                           load=load)
+    a, b = np.asarray(U_lu), np.asarray(U_it)
+    assert np.allclose(a, b, atol=2e-4 * np.abs(a).max()), (
+        np.abs(a - b).max(), np.abs(a).max())

@@ -17,6 +17,7 @@ preconditioner through rounding; equilibrated it is benign, cond ~ 4e6):
    is one jitted program per step with GMRES + RAS (73 iterations to 1e-13
    on the tube benchmark vs stagnation for all single-level alternatives).
 """
+import os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -112,6 +113,22 @@ class StepOptions:
     # RAS
     n_subdomains: Optional[int] = None  # default: ~1500 dofs per subdomain
     overlap: int = 2
+    # hybrid-residual endgame switch: exact f64 residuals once the norm is
+    # within endgame_factor * atol. 30 is the conservative default; the
+    # bench anchor config uses 3 so only the FINAL Newton iteration pays
+    # the ~1 s emulated-f64 element evaluation (measured at 185k dofs) —
+    # a coarse-phase exit that CLAIMS convergence is then re-certified
+    # with one exact residual on the host (step()) before being believed.
+    endgame_factor: float = 30.0
+    # "extrapolate" starts Newton from the linear time-extrapolation
+    # 2 U_n - U_{n-1} instead of U_n (consecutive-tstep calls only).
+    # On converged production steps this removes one endgame Newton
+    # iteration — the step's dominant cost is the ~1 s emulated-f64
+    # residual each endgame iteration pays (measured at 185k dofs).
+    # Newton still converges to the same solution (the start only seeds
+    # the iteration); the reference starts from U_n (turtleFSI
+    # newtonsolver), so "none" keeps its exact r0/rtol semantics.
+    predictor: str = "none"
 
 
 def make_step_fn(assembler, bc_mask, options: StepOptions, layout=None,
@@ -222,6 +239,9 @@ class IterativeStepper:
         self._dr = None
         self._dc = None
         self._jacs = None
+        # predictor history (opt.predictor == "extrapolate")
+        self._pred_prev = None
+        self._pred_tstep = None
         # last escalation tier (rebuild-at-current-state + exact retry)
         # is disabled on the axon remote TPU worker: its allocator
         # reliably crashes/OOMs on the mid-step rebuild churn after the
@@ -281,7 +301,9 @@ class IterativeStepper:
             # HBM headroom (measured OOM at 190k dofs / 16 GB: c=4488,
             # nb=42 -> C/D/B 9.5 GB + H/G/Sinv 4.7 GB + temps)
             est_cdb = bpat.nb * bpat.c * bpat.c * 12  # f32 C+D+B bytes
-            self._banded_lowmem = est_cdb > 7 * 2 ** 30
+            self._banded_lowmem = (est_cdb > 7 * 2 ** 30
+                                   or os.environ.get("VASP_FORCE_LOWMEM")
+                                   == "1")
             if self._banded_lowmem:
                 self._apply_banded = banded_mod.make_banded_apply_lowmem(
                     bpat)
@@ -333,10 +355,27 @@ class IterativeStepper:
                 # converging to 1e-10 at 185k dofs).
                 factorize_phase = jax.jit(
                     banded_mod.factorize_banded_lowmem, donate_argnums=(1,))
+                cast16 = jax.jit(lambda a: a.astype(jnp.bfloat16),
+                                 donate_argnums=(0,))
 
                 def rebuild_banded(U, U0, blocks):
                     dr, dc, Cm, Dm, Bm = assemble_phase(U, U0, blocks)
                     Sinv = factorize_phase(Cm, Dm, Bm)
+                    # bf16 C/B for the APPLY only (factorization above ran
+                    # on the f32 blocks): the lowmem apply is HBM-bound —
+                    # ~10 GB read per application at full bench size, of
+                    # which the two f32 C/B reads are 6.8 GB. bf16 halves
+                    # them (preconditioner operator error ~4e-3, iteration-
+                    # count neutral on the structured meshes that reach
+                    # lowmem scale) and frees 3.4 GB of HBM.
+                    # SYNC before enqueueing the casts: output buffers are
+                    # allocated at ENQUEUE time, and +3.4 GB on top of the
+                    # factorization's ~13.7 GB in-flight peak is a
+                    # measured OOM (bf16cb bench attempt, RESOURCE_
+                    # EXHAUSTED at the rebuild barrier).
+                    jax.block_until_ready(Sinv)
+                    Cm = cast16(Cm)
+                    Bm = jax.block_until_ready(cast16(Bm))
                     return dr, dc, Sinv, Cm, Bm
             else:
                 factorize_phase = jax.jit(banded_mod.factorize_banded,
@@ -465,7 +504,7 @@ class IterativeStepper:
             # iterations chase noise (measured: 2 extra iterations with the
             # converged residual sitting exactly on the floor)
             hybrid = opt.residual_dtype == "f32"
-            ENDGAME = 30.0 * opt.atol
+            ENDGAME = opt.endgame_factor * opt.atol
 
             def residual_raw(U):
                 R = asm.residual(U, U0) + load + lift_term(U)
@@ -663,12 +702,40 @@ class IterativeStepper:
             U1 = jnp.where(self.mask, bc_values, U0)
             self._rebuild(U1, U0, tstep)
             fresh = True
-        U, stats = self._newton_chunked(U0, U0, bc_values, load,
+        # predictor: seed Newton with the linear time-extrapolation of the
+        # last two states (consecutive tsteps only — a restart/jump gets
+        # the plain U0 start). Only the starting point changes; the
+        # theta-scheme residual stays anchored at U0.
+        Ustart = U0
+        if (self.opt.predictor == "extrapolate"
+                and self._pred_prev is not None
+                and tstep == self._pred_tstep + 1):
+            Ustart = U0 + (U0 - self._pred_prev)
+        self._pred_prev, self._pred_tstep = U0, tstep
+        U, stats = self._newton_chunked(U0, Ustart, bc_values, load,
                                         False, self.opt.max_it)
         res = float(stats["residual"])
         r0 = float(stats["r0"])
         converged = (res <= self.opt.atol
                      or res <= self.opt.rtol * max(r0, 1e-300))
+        if (converged and self.opt.residual_dtype == "f32"
+                and not bool(stats["fine"])):
+            # the COARSE (f32) phase claims convergence: its norm carries
+            # the scale-dependent noise floor (~8e-7 at 185k dofs, 8.7e-5
+            # on the stenosis fixture), so certify with exact residuals
+            # before believing it — re-entering the same program with
+            # fine_start=True evaluates one f64 R0 and exits immediately
+            # when the claim holds, or continues Newton in f64 when it
+            # does not (relevant for endgame_factor < ~8, where a
+            # quadratic final iteration can cross atol while still coarse)
+            it0 = int(stats["iterations"])
+            U, stats = self._newton_chunked(U0, U, bc_values, load,
+                                            True, self.opt.max_it)
+            stats["iterations"] += it0
+            res = float(stats["residual"])
+            r0 = max(r0, float(stats["r0"]))
+            converged = (res <= self.opt.atol
+                         or res <= self.opt.rtol * max(r0, 1e-300))
         if (not converged and self.opt.residual_dtype == "f32"
                 and not bool(stats["fine"])):
             # coarse-phase stall: the f32 residual noise floor is scale-

@@ -244,6 +244,8 @@ class FSISystem:
                 krylov_dtype=cfg.get("krylov_dtype"),
                 residual_dtype=cfg.get("residual_dtype"),
                 precond=str(cfg.get("precond", "banded")),
+                predictor=str(cfg.get("predictor", "none")),
+                endgame_factor=float(cfg.get("endgame_factor", 30.0)),
             )
             import dataclasses as _dc
             known = {f.name for f in _dc.fields(sopts)}
