@@ -225,3 +225,29 @@ def test_endgame_factor_certified(tube_problem):
     a, b = np.asarray(U_lu), np.asarray(U_it)
     assert np.allclose(a, b, atol=2e-4 * np.abs(a).max()), (
         np.abs(a - b).max(), np.abs(a).max())
+
+
+def test_reactive_factor_escalation(tube_problem):
+    """Optimistic-bf16 policy: a probe-flagged factorization escalates to
+    the f64 recursion ONLY when Newton actually stalls (probe magnitude
+    alone is a measured false positive on structured meshes). Simulated
+    here by flagging the probe on the stall fixture's load-jump step."""
+    sys_, bc_set, load = tube_problem
+    U0 = sys_.zero_state()
+    bcv = jnp.asarray(bc_set.values_at(0.001))
+    opts = StepOptions(atol=1e-9, rtol=1e-9, max_it=8, gmres_tol=1e-8,
+                       gmres_restart=60, gmres_maxiter=60, overlap=2)
+    stepper = IterativeStepper(sys_, bc_set, opts, recompute_tstep=1000)
+    U1, _ = stepper.step(U0, bcv, load, tstep=1)
+    assert not stepper._banded_f64  # healthy factors: no escalation
+
+    # flag the probe: the next stall must take the reactive branch
+    stepper._last_rel = 1e9
+    U2, info2 = stepper.step(U1, bcv, 3.0 * load, tstep=2)
+    assert stepper._banded_f64, "stall + flagged probe must escalate"
+    assert np.all(np.isfinite(np.asarray(U2)))
+    # escalated f64 factors + rebuild must make real Newton progress on
+    # the jump step (the 3x load jump leaves a genuine nonlinear tail,
+    # so full atol=1e-9 needs more than the 8+8 iteration test budget;
+    # measured post-escalation residual 5.6e-6 on this fixture)
+    assert float(info2["residual"]) < 1e-5, float(info2["residual"])

@@ -337,14 +337,17 @@ class IterativeStepper:
             # emulated-f64 recursion with f32 factor storage for this
             # mesh (apply rel 5.6e-4 measured on the same fixture).
             self._banded_f64 = False
-            # probe-solve quality threshold (banded_mod._probe_rel):
-            # measured ~1e-2 on structured tubes (bf16 factors fine, all
-            # bench sizes) vs ~48 on the reference's unstructured vmtk
-            # stenosis fixture (bf16 collapse -> Newton stall). The
-            # max-entry block-inverse error does NOT discriminate
-            # (1e2-2e3 on BOTH classes — measured) and briefly caused
-            # false escalations that OOM'd the full bench.
-            REL_MAX = 1.0
+            self._last_rel = 0.0
+            # probe-solve quality threshold (banded_mod._probe_rel): below
+            # it the bf16 factors are definitely healthy (structured tubes
+            # measure ~1e-2 at small/full partitions); above it they MAY
+            # be broken — but magnitude alone does not predict Newton
+            # failure (half-bench tube: rel 1.4e5 converges; vmtk stenosis
+            # fixture: rel 4.9e2 stalls), so a bad probe only arms the
+            # REACTIVE escalation in step(): factor-escalate when Newton
+            # actually stalls under flagged factors.
+            REL_MAX = float(os.environ.get("VASP_BANDED_RELMAX", "1.0"))
+            self._rel_max = REL_MAX
             if self._banded_lowmem:
                 # keep C/B for the apply; only D is donated (dead after
                 # the Schur scan). No escalation at lowmem scale: the
@@ -387,14 +390,17 @@ class IterativeStepper:
                     dr, dc, Cm, Dm, Bm = assemble_phase(U, U0, blocks)
                     if not self._banded_f64:
                         Sinv, H, G, rel = factorize_phase(Cm, Dm, Bm)
-                        if float(rel) <= REL_MAX:
-                            return dr, dc, Sinv, H, G
-                        self._banded_f64 = True
-                        print(f"Banded preconditioner: bf16 factor solve "
-                              f"quality {float(rel):.1e} - escalating to "
-                              "f64 factorization", flush=True)
-                        del Sinv, H, G  # C/D/B donated: re-assemble
-                        dr, dc, Cm, Dm, Bm = assemble_phase(U, U0, blocks)
+                        # OPTIMISTIC bf16: a bad probe value alone does not
+                        # escalate — the probe magnitude does not predict
+                        # Newton failure (measured: rel 1.4e5 on the
+                        # half-bench structured tube CONVERGES in 4 iters
+                        # and escalating there cost 1.7 s/step, while
+                        # rel 4.9e2 on the vmtk stenosis fixture hard-
+                        # stalls Newton). The probe is recorded and step()
+                        # escalates REACTIVELY when Newton actually stalls
+                        # under flagged factors.
+                        self._last_rel = float(rel)
+                        return dr, dc, Sinv, H, G
                     Sinv, H, G = factorize_f64(Cm, Dm, Bm)
                     return dr, dc, Sinv, H, G
 
@@ -731,6 +737,31 @@ class IterativeStepper:
             it0 = int(stats["iterations"])
             U, stats = self._newton_chunked(U0, U, bc_values, load,
                                             True, self.opt.max_it)
+            stats["iterations"] += it0
+            res = float(stats["residual"])
+            r0 = max(r0, float(stats["r0"]))
+            converged = (res <= self.opt.atol
+                         or res <= self.opt.rtol * max(r0, 1e-300))
+        if (not converged and self._precond == "banded"
+                and not getattr(self, "_banded_lowmem", False)
+                and not self._banded_f64
+                and self._last_rel > self._rel_max):
+            # REACTIVE factor escalation: Newton stalled AND the probe had
+            # flagged the bf16 factors. Only the conjunction escalates —
+            # eager escalation on the probe alone was a measured 1.7 s/step
+            # false positive on the half bench (rel 1.4e5 yet convergent),
+            # while the vmtk stenosis fixture (rel 4.9e2) genuinely stalls
+            # until the factorization is redone in emulated f64.
+            print("Newton: stall under probe-flagged bf16 banded factors "
+                  f"(solve quality {self._last_rel:.1e}) - escalating to "
+                  "f64 factorization", flush=True)
+            self._banded_f64 = True
+            self._rebuild(U, U0, tstep)
+            fresh = True
+            it0 = int(stats["iterations"])
+            U, stats = self._newton_chunked(U0, U, bc_values, load,
+                                            bool(stats.get("fine", False)),
+                                            self.opt.max_it)
             stats["iterations"] += it0
             res = float(stats["residual"])
             r0 = max(r0, float(stats["r0"]))
