@@ -167,6 +167,103 @@ def test_smooth_surface(method):
 
 
 @pytest.mark.skipif(not TUBE.exists(), reason="STL fixtures absent")
+def test_centerline_and_voronoi_smooth():
+    """Centerline + MIS radius extraction and 'voronoi' envelope smoothing
+    (reference: preprocessing.py:201-217, 271-305)."""
+    from vasp_tpu.preprocessing.surface_mesh import (
+        extract_centerline, voronoi_envelope_smooth)
+
+    centers, rmin = extract_centerline(TUBE, n_z=40, n_theta=16)
+    assert centers.shape == (41, 3) and rmin.shape == (41,)
+    assert np.all(rmin > 0)
+    # tube.stl is a gently CURVED capsule (raw binned-centroid
+    # arclen/chord ~ 1.13): the centerline must follow that curvature
+    # without wild oscillation, and the MIS radius must stay in a sane
+    # band around the body radius
+    chord = np.linalg.norm(centers[-1] - centers[0])
+    arclen = np.linalg.norm(np.diff(centers, axis=0), axis=1).sum()
+    assert chord < arclen < 1.45 * chord
+    # smooth: consecutive tangents never reverse
+    seg = np.diff(centers, axis=0)
+    cosang = np.einsum("ki,ki->k", seg[:-1], seg[1:]) / (
+        np.linalg.norm(seg[:-1], axis=1) * np.linalg.norm(seg[1:], axis=1))
+    assert cosang.min() > 0.0
+    body = np.median(rmin)
+    assert np.all(rmin > 0.3 * body) and np.all(rmin < 2.0 * body)
+
+    # envelope smoothing: damps a high-frequency radius bump while
+    # pinning the ends and keeping the mean
+    r = np.ones((30, 12))
+    r[14:17] += 0.5  # localized bump (aneurysm-removal use case)
+    rs = voronoi_envelope_smooth(r, smoothing_factor=1.0, n_pass=12)
+    assert rs.max() < r.max()
+    assert np.array_equal(rs[0], r[0]) and np.array_equal(rs[-1], r[-1])
+    assert abs(rs.mean() - r.mean()) < 0.05
+
+
+@pytest.mark.skipif(not TUBE.exists(), reason="STL fixtures absent")
+def test_adaptive_axial_sizing():
+    """meshing_method + refine_region concentrate axial stations
+    (reference's edge-length sizing methods + --refine-region,
+    preprocessing.py:223-269, 397-435)."""
+    from vasp_tpu.preprocessing.surface_mesh import (
+        axial_density, read_stl, resample_layers,
+        surface_tube_parameterization)
+
+    V, F = read_stl(TUBE)
+    centers, e1, e2, r = surface_tube_parameterization(
+        V, F, n_z=60, n_theta=12)
+    mid = centers[len(centers) // 2]
+    rad = 0.2 * np.linalg.norm(centers[-1] - centers[0])
+    dens = axial_density(centers, r, method="constant",
+                         refine_region=(*mid, rad), refine_factor=4.0)
+    cn, e1n, e2n, rn = resample_layers(centers, e1, e2, r, 40, dens)
+    assert cn.shape == (41, 3) and rn.shape[0] == 41
+    # spacing inside the refine sphere is denser than outside
+    seg = np.linalg.norm(np.diff(cn, axis=0), axis=1)
+    segmid = 0.5 * (cn[1:] + cn[:-1])
+    inside = np.linalg.norm(segmid - mid, axis=1) < 0.8 * rad
+    assert inside.any() and (~inside).any()
+    assert seg[inside].mean() < 0.5 * seg[~inside].mean()
+    # frames stay orthonormal
+    t = np.gradient(cn, axis=0)
+    t /= np.linalg.norm(t, axis=1, keepdims=True)
+    assert np.abs(np.einsum("ki,ki->k", e1n, t)).max() < 1e-8
+    assert np.abs(np.linalg.norm(e1n, axis=1) - 1).max() < 1e-12
+
+    # 'diameter' method on a constant-radius tube ~ uniform density
+    dd = axial_density(centers, r, method="diameter")
+    assert dd.std() < 0.2 * dd.mean()
+    # 'curvature' runs and is positive
+    dc = axial_density(centers, r, method="curvature")
+    assert np.all(dc > 0)
+
+
+@pytest.mark.skipif(not TUBE.exists(), reason="STL fixtures absent")
+def test_generate_mesh_cli_sizing_flags(tmp_path):
+    """CLI: -m diameter + --refine-region + -sm voronoi + centerline
+    artifact (reference writes <case>_centerline.vtp)."""
+    import json
+
+    from vasp_tpu.mesh.io import read_vasp_mesh
+    from vasp_tpu.preprocessing.pipeline import main_meshing
+
+    out = tmp_path / "m" / "t.h5"
+    main_meshing(["-i", str(TUBE), "-o", str(out), "--n-z", "16",
+                  "--n-theta", "10", "--n-r-fluid", "2", "--n-r-solid", "1",
+                  "-m", "diameter", "-sm", "voronoi", "-sf", "0.4",
+                  "--scale-factor", "0.001"])
+    m = read_vasp_mesh(out)
+    assert set(np.unique(m.cell_markers)) == {1, 2}
+    cl = json.loads(out.with_name("t_centerline.json").read_text())
+    pts = np.asarray(cl["points"])
+    assert pts.ndim == 2 and pts.shape[1] == 3
+    assert len(cl["mis_radius"]) == len(pts)
+    # scale factor applied to the artifact too
+    assert np.linalg.norm(pts[-1] - pts[0]) < 1.0  # metres, not mm
+
+
+@pytest.mark.skipif(not TUBE.exists(), reason="STL fixtures absent")
 def test_surface_mesh_smoothing_wired(tmp_path):
     from vasp_tpu.mesh.io import read_vasp_mesh
     from vasp_tpu.preprocessing.pipeline import main_meshing

@@ -153,14 +153,24 @@ def read_command_line(argv=None):
     p.add_argument("--add-flowextensions", type=float, default=0.0,
                    help="extend inlet/outlet by N local diameters "
                         "(reference -fli/-flo flags)")
-    # accepted-for-compat VMTK flags
-    p.add_argument("--meshing-method", default="diameter")
+    p.add_argument("-m", "--meshing-method", default="constant",
+                   choices=["constant", "diameter", "curvature"],
+                   help="axial sizing distribution (reference's "
+                        "edge-length sizing methods, "
+                        "preprocessing.py:397-435)")
+    p.add_argument("--refine-region", type=float, nargs=4, default=None,
+                   metavar=("X", "Y", "Z", "R"),
+                   help="densify layers inside the sphere (reference "
+                        "--refine-region, preprocessing.py:223-269)")
+    p.add_argument("--refine-factor", type=float, default=4.0)
     p.add_argument("-sm", "--smoothing-method", default="no_smooth",
                    choices=["no_smooth", "laplace", "taubin", "voronoi"],
                    help="surface smoothing before meshing (reference "
-                        "preprocessing.py:271-334; 'voronoi' falls back "
-                        "to taubin — no centerline Voronoi machinery)")
+                        "preprocessing.py:271-334; 'voronoi' smooths the "
+                        "wall-radius envelope, the morphman analogue)")
     p.add_argument("-si", "--smoothing-iterations", type=int, default=25)
+    p.add_argument("-sf", "--smoothing-factor", type=float, default=0.25,
+                   help="voronoi envelope blend factor (reference -sf)")
     p.add_argument("--solid-thickness", default="constant",
                    help="'constant'/'variable' (fraction of local radius) "
                         "or a number (absolute thickness, input units)")
@@ -174,13 +184,17 @@ def run_surface_pre_processing(input_model, mesh_path, n_z=40, n_theta=16,
                                flatten_boundaries=True,
                                smoothing_method="no_smooth",
                                smoothing_iterations=25,
+                               smoothing_factor=0.25,
+                               meshing_method="constant",
+                               refine_region=None, refine_factor=4.0,
                                n_probes=10, mean_inflow_rate=None,
                                verbose=True):
     """STL surface -> two-domain FSI mesh + the same metadata artifacts as
     the parametric path (reference pipeline stage P1 surface mode +
     P3 meshing; vasp_tpu/preprocessing/surface_mesh.py docstring for the
     structured reparameterization design)."""
-    from vasp_tpu.preprocessing.surface_mesh import surface_fsi_mesh
+    from vasp_tpu.preprocessing.surface_mesh import (extract_centerline,
+                                                     surface_fsi_mesh)
 
     mesh_path = Path(mesh_path)
     mesh_path.parent.mkdir(parents=True, exist_ok=True)
@@ -189,10 +203,20 @@ def run_surface_pre_processing(input_model, mesh_path, n_z=40, n_theta=16,
         n_r_solid=n_r_solid, solid_thickness=solid_thickness,
         thickness_frac=thickness_frac, scale_factor=scale_factor,
         flow_extensions=flow_extensions,
-        smoothing_method=("taubin" if smoothing_method == "voronoi"
-                          else smoothing_method),
+        smoothing_method=smoothing_method,
         smoothing_iterations=smoothing_iterations,
+        smoothing_factor=smoothing_factor,
+        meshing_method=meshing_method,
+        refine_region=refine_region, refine_factor=refine_factor,
     )
+    # centerline artifact (the reference writes <case>_centerline.vtp,
+    # preprocessing.py:201-217; points + MIS radii as portable json)
+    cl_pts, cl_r = extract_centerline(input_model)
+    cl_path = mesh_path.with_name(mesh_path.stem + "_centerline.json")
+    cl_path.write_text(json.dumps({
+        "points": (np.asarray(cl_pts) * float(scale_factor)).tolist(),
+        "mis_radius": (np.asarray(cl_r) * float(scale_factor)).tolist(),
+    }))
     if flatten_boundaries:
         mesh = check_flatten_boundary(mesh, markers=(2, 3))
     if verbose:
@@ -235,6 +259,10 @@ def main_meshing(argv=None):
             flatten_boundaries=not args.no_flatten,
             smoothing_method=args.smoothing_method,
             smoothing_iterations=args.smoothing_iterations,
+            smoothing_factor=args.smoothing_factor,
+            meshing_method=args.meshing_method,
+            refine_region=args.refine_region,
+            refine_factor=args.refine_factor,
             n_probes=args.n_probes,
             mean_inflow_rate=args.mean_inflow_rate,
         )

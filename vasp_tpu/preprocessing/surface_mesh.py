@@ -207,6 +207,41 @@ def remove_caps(V, F, target_loops=2, flat_deg=12.0):
         if best is None:
             raise ValueError("no flat cap patch found to remove")
         F = F[~best]
+        F = _peel_dome(V, F)
+    return F
+
+
+def _peel_dome(V, F, grow_tol=1.01, max_peel=40):
+    """Widen the smallest boundary hole while doing so GROWS its radius:
+    a rounded endcap (dome) exposes only its near-flat tip to the planar
+    cap detector, so peel rings of faces back until the hole reaches the
+    cylinder body (radius growth stalls). A flat cap removed whole stops
+    immediately. Loop-count changes (merging holes / exhausting the
+    dome) also stop the peel."""
+    def hole_radius(loop):
+        P = V[loop]
+        c = P.mean(axis=0)
+        return float(np.linalg.norm(P - c, axis=1).mean())
+
+    for _ in range(int(max_peel)):
+        loops = boundary_loops(F)
+        if not loops:
+            return F
+        loop = min(loops, key=hole_radius)
+        r_cur = hole_radius(loop)
+        on_loop = np.isin(F, loop).any(axis=1)
+        if on_loop.all() or not on_loop.any():
+            return F
+        F_try = F[~on_loop]
+        loops_try = boundary_loops(F_try)
+        if len(loops_try) != len(loops):
+            return F
+        c = V[loop].mean(axis=0)
+        loop_try = min(loops_try,
+                       key=lambda l: np.linalg.norm(V[l].mean(axis=0) - c))
+        if hole_radius(loop_try) <= grow_tol * r_cur:
+            return F
+        F = F_try
     return F
 
 
@@ -276,6 +311,15 @@ def surface_tube_parameterization(V, F, n_z=40, n_theta=16):
         loops = boundary_loops(F)
     # two largest loops = inlet/outlet
     loops = sorted(loops, key=len, reverse=True)[:2]
+    # compact away vertices decapping orphaned (cap/dome interiors): they
+    # have no Laplacian edges (singular harmonic solve) and would bin
+    # spurious small radii into the end stations
+    used = np.unique(F)
+    if len(used) < len(V):
+        remap = np.full(len(V), -1, np.int64)
+        remap[used] = np.arange(len(used))
+        V, F = V[used], remap[F]
+        loops = [remap[l] for l in loops]
     u = harmonic_axial(V, F, loops[0], loops[1])
 
     # layer positions at u-QUANTILES: the harmonic field compresses near
@@ -326,11 +370,25 @@ def surface_tube_parameterization(V, F, n_z=40, n_theta=16):
             ext_x = np.concatenate([xs_k - n_theta, xs_k, xs_k + n_theta])
             ext_y = np.tile(row[xs_k], 3)
             r[k] = np.interp(ang, ext_x, ext_y)
-    # end rows directly from the boundary rings (exact end geometry)
+    # end rows directly from the boundary rings (exact end geometry),
+    # measured in the ring's OWN best-fit plane: the parallel-transport
+    # end frames inherit finite-difference tangent noise, and an oblique
+    # ring projected into a tilted frame reads falsely small radii
+    # (measured 0.29 vs a true 1.3 on tube.stl)
     for k, ring in ((0, loops[0]), (n_z, loops[1])):
-        rel = V[ring] - centers[k]
-        x1r = rel @ e1[k]
-        x2r = rel @ e2[k]
+        P = V[ring]
+        cring = P.mean(axis=0)
+        _, _, Vt = np.linalg.svd(P - cring, full_matrices=False)
+        nrm = Vt[2]
+        if np.dot(nrm, t[k]) < 0:
+            nrm = -nrm
+        b1 = e1[k] - np.dot(e1[k], nrm) * nrm
+        b1 /= max(np.linalg.norm(b1), 1e-30)
+        b2 = np.cross(nrm, b1)
+        centers[k], e1[k], e2[k], t[k] = cring, b1, b2, nrm
+        rel = P - cring
+        x1r = rel @ b1
+        x2r = rel @ b2
         thr = np.mod(np.arctan2(x2r, x1r), 2 * np.pi)
         order = np.argsort(thr)
         ang = np.arange(n_theta) * 2 * np.pi / n_theta
@@ -349,6 +407,99 @@ def surface_tube_parameterization(V, F, n_z=40, n_theta=16):
     med = np.median(r, axis=1, keepdims=True)
     r = np.maximum(r, 0.25 * med)
     return centers, e1, e2, r
+
+
+def extract_centerline(surface, n_z=100, n_theta=32):
+    """Vessel centerline + maximal-inscribed-sphere (MIS) radius per
+    station (the reference's compute_centerlines/Voronoi stage,
+    reference:src/vasp/preprocessing/preprocessing.py:201-217, rebuilt on
+    the harmonic tube parameterization instead of vmtk's Voronoi diagram).
+
+    surface: an STL path or an (V, F) tuple. Returns (centers (n+1,3),
+    mis_radius (n+1,)) where mis_radius is the minimum wall distance over
+    the angular samples — the inscribed-sphere radius of a tubular vessel.
+    """
+    if isinstance(surface, (str, bytes)) or hasattr(surface, "__fspath__"):
+        V, F = read_stl(surface)
+    else:
+        V, F = surface
+    centers, _, _, r = surface_tube_parameterization(
+        V, F, n_z=n_z, n_theta=n_theta)
+    return centers, r.min(axis=1)
+
+
+def voronoi_envelope_smooth(r, smoothing_factor=0.25, n_pass=12):
+    """'voronoi' smoothing of the wall-radius field: blend each radius
+    toward a strongly smoothed envelope, removing high-frequency bumps
+    (aneurysm-removal use case) while keeping the global shape — the role
+    of the reference's Voronoi-diagram smoothing (morphman, smoothing
+    factor 0.25; reference:src/vasp/preprocessing/preprocessing.py:271-305).
+    Operates in parameter space on r(z, theta) rather than on Voronoi
+    spheres; ends are pinned."""
+    env = _smooth(r, n_pass=n_pass, axis=0)
+    for _ in range(n_pass):
+        env = 0.5 * env + 0.25 * (np.roll(env, 1, axis=1)
+                                  + np.roll(env, -1, axis=1))
+    f = float(np.clip(smoothing_factor, 0.0, 1.0))
+    out = (1.0 - f) * r + f * env
+    out[0], out[-1] = r[0], r[-1]
+    return out
+
+
+def axial_density(centers, r, method="constant", refine_region=None,
+                  refine_factor=4.0):
+    """Per-station axial sizing density (higher = finer layer spacing).
+
+    method: 'constant' (uniform), 'diameter' (spacing proportional to the
+    local diameter — finer where the vessel narrows), 'curvature' (finer
+    where the centerline bends). refine_region=(x, y, z, rad) multiplies
+    the density by refine_factor inside the sphere — the reference's
+    --refine-region local sizing
+    (reference:src/vasp/preprocessing/preprocessing.py:223-269,397-435)."""
+    n = len(centers)
+    d = np.ones(n)
+    if method == "diameter":
+        dia = 2.0 * r.mean(axis=1)
+        d = dia.mean() / np.maximum(dia, 1e-30)
+    elif method == "curvature":
+        s = np.concatenate([[0.0], np.cumsum(
+            np.linalg.norm(np.diff(centers, axis=0), axis=1))])
+        t = np.gradient(centers, s, axis=0)
+        kap = np.linalg.norm(np.gradient(t, s, axis=0), axis=1)
+        kap = _smooth(kap[:, None], n_pass=4).ravel()
+        d = 0.5 + kap / max(kap.mean(), 1e-30)
+    if refine_region is not None:
+        cx, cy, cz, rad = [float(v) for v in refine_region]
+        inside = np.linalg.norm(
+            centers - np.array([cx, cy, cz]), axis=1) < rad
+        d = np.where(inside, d * float(refine_factor), d)
+    return d
+
+
+def resample_layers(centers, e1, e2, r, n_z, density):
+    """Redistribute the axial stations so local spacing follows 1/density
+    (equal increments of the cumulative density along arclength). Frames
+    are re-orthonormalized after interpolation so the angular reference of
+    r's theta columns is preserved continuously."""
+    s = np.concatenate([[0.0], np.cumsum(
+        np.linalg.norm(np.diff(centers, axis=0), axis=1))])
+    w = 0.5 * (density[1:] + density[:-1]) * np.diff(s)
+    c = np.concatenate([[0.0], np.cumsum(w)])
+    c /= max(c[-1], 1e-300)
+    snew = np.interp(np.linspace(0.0, 1.0, n_z + 1), c, s)
+    def interp_cols(a):
+        return np.stack([np.interp(snew, s, a[:, j])
+                         for j in range(a.shape[1])], axis=1)
+    cn = interp_cols(centers)
+    rn = interp_cols(r)
+    e1n = interp_cols(e1)
+    # re-orthonormalize against the resampled tangent
+    t = np.gradient(cn, axis=0)
+    t /= np.maximum(np.linalg.norm(t, axis=1, keepdims=True), 1e-30)
+    e1n -= np.einsum("ki,ki->k", e1n, t)[:, None] * t
+    e1n /= np.maximum(np.linalg.norm(e1n, axis=1, keepdims=True), 1e-30)
+    e2n = np.cross(t, e1n)
+    return cn, e1n, e2n, rn
 
 
 def add_flow_extensions(centers, e1, e2, r, ext_diams=2.0):
@@ -384,7 +535,9 @@ def surface_fsi_mesh(stl_path, n_z=40, n_theta=16, n_r_fluid=3,
                      n_r_solid=1, solid_thickness=None,
                      thickness_frac=0.25, scale_factor=1.0,
                      flow_extensions=0.0, smoothing_method="no_smooth",
-                     smoothing_iterations=25) -> TetMesh:
+                     smoothing_iterations=25, smoothing_factor=0.25,
+                     meshing_method="constant", refine_region=None,
+                     refine_factor=4.0) -> TetMesh:
     """Two-domain FSI mesh from an STL surface (reference pipeline stage
     P3; marker conventions of preprocessing_common.generate_mesh:
     entity ids 11/22/33, fluid=1/solid=2 after the +1 offset).
@@ -392,17 +545,36 @@ def surface_fsi_mesh(stl_path, n_z=40, n_theta=16, n_r_fluid=3,
     solid_thickness: constant wall thickness (in INPUT units); default
     thickness_frac * local radius (the reference's variable-thickness
     mode). scale_factor: applied to all coordinates at the end (e.g. 1e-3
-    for mm -> m, reference scale flag)."""
+    for mm -> m, reference scale flag). meshing_method
+    'constant'|'diameter'|'curvature' + refine_region control the axial
+    sizing distribution (reference's 4 edge-length sizing methods +
+    --refine-region, preprocessing.py:223-269,397-435); 'voronoi'
+    smoothing_method smooths the radius envelope instead of the surface
+    vertices (smoothing_factor as in morphman, preprocessing.py:271-305).
+    """
     V, F = read_stl(stl_path)
-    if smoothing_method not in (None, "no_smooth"):
+    if smoothing_method in ("laplace", "taubin"):
         # decap FIRST: smoothing a capped surface blurs the flat endcap
         # patches remove_caps detects later
         if len(boundary_loops(F)) < 2:
             F = remove_caps(V, F, target_loops=2)
         V = smooth_surface(V, F, method=smoothing_method,
                            n_iter=smoothing_iterations)
+    adaptive = (meshing_method != "constant" or refine_region is not None)
+    # adaptive sizing: parameterize finer, then redistribute stations by
+    # the density field (keeps the station COUNT the user asked for)
+    n_z_param = max(2 * n_z, 60) if adaptive else n_z
     centers, e1, e2, r = surface_tube_parameterization(
-        V, F, n_z=n_z, n_theta=n_theta)
+        V, F, n_z=n_z_param, n_theta=n_theta)
+    if smoothing_method == "voronoi":
+        r = voronoi_envelope_smooth(
+            r, smoothing_factor=smoothing_factor,
+            n_pass=max(4, smoothing_iterations // 2))
+    if adaptive:
+        dens = axial_density(centers, r, method=meshing_method,
+                             refine_region=refine_region,
+                             refine_factor=refine_factor)
+        centers, e1, e2, r = resample_layers(centers, e1, e2, r, n_z, dens)
     if flow_extensions > 0:
         centers, e1, e2, r = add_flow_extensions(
             centers, e1, e2, r, ext_diams=flow_extensions)
