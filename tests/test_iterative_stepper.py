@@ -251,3 +251,27 @@ def test_reactive_factor_escalation(tube_problem):
     # so full atol=1e-9 needs more than the 8+8 iteration test budget;
     # measured post-escalation residual 5.6e-6 on this fixture)
     assert float(info2["residual"]) < 1e-5, float(info2["residual"])
+
+
+def test_cumsum_accumulate_matches_segment_sum(tube_problem):
+    """The f64 cumsum-diff accumulate (TPU fast path) must agree with the
+    sorted segment_sum to f64 roundoff on a real residual."""
+    import jax
+    from vasp_tpu.fem.assembly import Assembler, build_scatter_plan
+
+    sys_, bc_set, load = tube_problem
+    ndof = sys_.space.ndof
+    plan = build_scatter_plan(sys_.assembler.blocks, ndof)
+    asm = Assembler(ndof, sys_.assembler.blocks, scatter_plan=plan)
+
+    rng = np.random.default_rng(3)
+    U = jnp.asarray(rng.normal(0.0, 1e-4, ndof))
+    U0 = jnp.zeros(ndof)
+    R_cs = np.asarray(asm.residual(U, U0))
+
+    plan_ss = {k: v for k, v in plan.items() if k in ("order", "segids")}
+    asm_ss = Assembler(ndof, sys_.assembler.blocks, scatter_plan=plan_ss)
+    R_ss = np.asarray(asm_ss.residual(U, U0))
+
+    scale = np.abs(R_ss).max()
+    assert np.abs(R_cs - R_ss).max() < 1e-12 * max(scale, 1.0)
