@@ -275,3 +275,27 @@ def test_cumsum_accumulate_matches_segment_sum(tube_problem):
 
     scale = np.abs(R_ss).max()
     assert np.abs(R_cs - R_ss).max() < 1e-12 * max(scale, 1.0)
+
+
+def test_delta_endgame_matches_raw_f64(tube_problem):
+    """The Taylor-delta endgame (the TPU production default) must converge
+    to the same state as raw f64 endgame residuals (delta_endgame=False)
+    at the bench anchor config."""
+    sys_, bc_set, load = tube_problem
+    U0 = sys_.zero_state()
+    bcv = jnp.asarray(bc_set.values_at(0.001))
+    common = dict(atol=1e-6, rtol=1e-6, max_it=10, gmres_tol=1e-3,
+                  gmres_restart=60, gmres_maxiter=120, overlap=2,
+                  jac_dtype="f32", krylov_dtype="f32",
+                  residual_dtype="f32")
+    U_delta, info_d = IterativeStepper(
+        sys_, bc_set, StepOptions(delta_endgame=True, **common),
+        recompute_tstep=20).step(U0, bcv, load, tstep=1)
+    U_raw, info_r = IterativeStepper(
+        sys_, bc_set, StepOptions(delta_endgame=False, **common),
+        recompute_tstep=20).step(U0, bcv, load, tstep=1)
+    assert float(info_d["residual"]) <= 1e-6
+    assert float(info_r["residual"]) <= 1e-6
+    a, b = np.asarray(U_raw), np.asarray(U_delta)
+    assert np.allclose(a, b, atol=1e-5 * np.abs(a).max()), (
+        np.abs(a - b).max(), np.abs(a).max())

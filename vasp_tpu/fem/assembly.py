@@ -210,6 +210,48 @@ class Assembler:
             R = R.at[b.dofs.reshape(-1)].add(r.reshape(-1).astype(U.dtype))
         return R
 
+    def residual_delta(self, U, A, U0, order=3):
+        """R(U) - R(A) as the order-`order` Taylor polynomial of each
+        element kernel along du = U - A, element work in f32, f64
+        accumulation.
+
+        The TPU endgame fast path: the emulated-f64 element evaluation is
+        ~25x the f32 one (777 vs 31 ms at 185k dofs), so Newton's endgame
+        anchors ONE exact f64 residual per dispatch and evaluates the
+        later iterations as R64(A) + residual_delta(U, A, U0). The delta
+        coefficients carry magnitudes ~|J_e||du|, so their f32 roundoff
+        (~eps32 |J_e||du|) and the Taylor truncation (~T (|du|/|u|)^4)
+        both vanish as Newton contracts du -> 0 — measured 1e-8 absolute
+        on the first endgame step of a real trajectory, 1e-11 after
+        (scripts/diag_jet_delta2.py), versus atol 1e-6 targets."""
+        from jax.experimental import jet
+
+        du32 = (U - A).astype(jnp.float32)
+        parts = []
+        for b in self.blocks:
+            if isinstance(b, CellBlock):
+                prim = (A[b.dofs].astype(jnp.float32),
+                        U0[b.dofs].astype(jnp.float32),
+                        b.Jinv.astype(jnp.float32),
+                        b.detJ.astype(jnp.float32),
+                        b.vol.astype(jnp.float32))
+                lead = du32[b.dofs]
+                fn = jax.vmap(b.kernel)
+            else:
+                prim = (A[b.dofs].astype(jnp.float32),
+                        b.area2.astype(jnp.float32))
+                lead = du32[b.dofs]
+                fn = jax.vmap(b.kernel, in_axes=(0, 0))
+            zeros = [jnp.zeros_like(p) for p in prim]
+            series = tuple(
+                [lead if i == 0 else zeros[i]]
+                + [zeros[i]] * (order - 1)
+                for i in range(len(prim))
+            )
+            _, out_series = jet.jet(fn, prim, series)
+            parts.append(sum(out_series))
+        return self._accumulate(parts, jnp.float64)
+
     def element_jacobians(self, U, U0, chunk=None, dtype=None):
         """Batched element Jacobians; dtype=f32 computes the jacfwd natively
         in f32 (full MXU speed, half the temp HBM) — accurate enough for

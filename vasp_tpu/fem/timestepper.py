@@ -120,6 +120,15 @@ class StepOptions:
     # a coarse-phase exit that CLAIMS convergence is then re-certified
     # with one exact residual on the host (step()) before being believed.
     endgame_factor: float = 30.0
+    # Taylor-delta endgame (hybrid residuals only): anchor one exact f64
+    # residual per Newton dispatch and evaluate later endgame residuals as
+    # R64(anchor) + order-3 f32 Taylor delta along U - anchor
+    # (Assembler.residual_delta) — the emulated-f64 element work is ~25x
+    # the f32 one on TPU. Delta roundoff AND truncation scale with the
+    # shrinking Newton update (measured 1e-8 absolute on the first endgame
+    # step, 1e-11 after). Chunked dispatch re-anchors every NEWTON_CHUNK
+    # iterations, bounding anchor staleness.
+    delta_endgame: bool = True
     # "extrapolate" starts Newton from the linear time-extrapolation
     # 2 U_n - U_{n-1} instead of U_n (consecutive-tstep calls only).
     # On converged production steps this removes one endgame Newton
@@ -511,6 +520,18 @@ class IterativeStepper:
             # converged residual sitting exactly on the floor)
             hybrid = opt.residual_dtype == "f32"
             ENDGAME = opt.endgame_factor * opt.atol
+            # Taylor-delta endgame (opt.delta_endgame): the f64 element
+            # work is ~25x the f32 one on TPU (777 vs 31 ms at 185k dofs),
+            # so instead of paying it every endgame iteration, the loop
+            # anchors ONE exact f64 residual at the first fine evaluation
+            # of each dispatch and computes later fine residuals as
+            # R64(anchor) + order-3 Taylor delta along U - anchor
+            # (Assembler.residual_delta; f32 element work whose roundoff
+            # AND truncation scale with the shrinking Newton update —
+            # measured 1e-8 absolute on the first endgame step of a real
+            # trajectory, 1e-11 after). The exact escalation tier keeps
+            # raw f64 residuals.
+            use_delta = hybrid and opt.delta_endgame and not exact
 
             def residual_raw(U):
                 R = asm.residual(U, U0) + load + lift_term(U)
@@ -521,10 +542,25 @@ class IterativeStepper:
                     + lift_term(U)
                 return jnp.where(mask, 0.0, R)
 
-            def residual_sel(U, fine):
+            def residual_fine(U, anc):
+                if not use_delta:
+                    return residual_raw(U)
+                anchored, Aanc, RA = anc
+
+                def dlt(_):
+                    d = asm.residual_delta(U, Aanc, U0)
+                    if has_lift:
+                        d = d + lift_term(U - Aanc)
+                    return jnp.where(mask, 0.0, RA + d)
+
+                return jax.lax.cond(anchored, dlt,
+                                    lambda _: residual_raw(U), None)
+
+            def residual_sel(U, fine, anc):
                 if not hybrid:
                     return residual_raw(U)
-                return jax.lax.cond(fine, residual_raw, residual_f32, U)
+                return jax.lax.cond(fine, lambda _: residual_fine(U, anc),
+                                    lambda _: residual_f32(U), None)
 
             def precond(r):
                 return precond_fn(pinv, r)
@@ -577,7 +613,7 @@ class IterativeStepper:
 
             if hybrid:
                 fs = jnp.asarray(fine_start)
-                R0 = residual_sel(U1, fs)
+                R0 = jax.lax.cond(fs, residual_raw, residual_f32, U1)
                 r0 = jnp.linalg.norm(R0)
 
                 def _refine(_):
@@ -592,14 +628,20 @@ class IterativeStepper:
                 r0 = jnp.linalg.norm(R0)
                 fine_init = jnp.bool_(True)
             r0_safe = jnp.where(r0 > 0, r0, 1.0)
+            # delta-endgame anchor: whenever fine_init holds, R0 above came
+            # from residual_raw, so (U1, R0) is a valid exact anchor
+            anchored0 = fine_init if use_delta else jnp.bool_(False)
 
             def cond(carry):
-                U, it, R, rnorm, stall, fine, Ub, rb = carry
+                (U, it, R, rnorm, stall, fine, Ub, rb,
+                 anchored, Aanc, RA) = carry
                 return ((it < it_cap) & (rnorm > opt.atol)
                         & (rnorm / r0_safe > opt.rtol) & (stall < 2))
 
             def body(carry):
-                U, it, R, rnorm, stall, fine0, Ub, rb = carry
+                (U, it, R, rnorm, stall, fine0, Ub, rb,
+                 anchored, Aanc, RA) = carry
+                anc = (anchored, Aanc, RA)
                 dx = newton_update(U, R)
                 fine = fine0 | (rnorm < ENDGAME)
                 # full-step-first: near the root exact Newton descends with
@@ -607,7 +649,7 @@ class IterativeStepper:
                 # (with one re-eval of the winning vector) only runs when
                 # the full step fails to decrease the residual
                 Ufull = U - opt.lmbda * dx
-                Rfull = residual_sel(Ufull, fine)
+                Rfull = residual_sel(Ufull, fine, anc)
                 rfull = jnp.linalg.norm(Rfull)
 
                 def accept(_):
@@ -616,13 +658,22 @@ class IterativeStepper:
                 def search(_):
                     Us, rs = _backtrack_update(
                         U, dx,
-                        lambda Ut: jnp.linalg.norm(residual_sel(Ut, fine)),
+                        lambda Ut: jnp.linalg.norm(
+                            residual_sel(Ut, fine, anc)),
                         opt.lmbda,
                     )
-                    return Us, residual_sel(Us, fine), rs
+                    return Us, residual_sel(Us, fine, anc), rs
 
                 good = jnp.isfinite(rfull) & (rfull < rnorm)
                 U, R, rn = jax.lax.cond(good, accept, search, None)
+                # first fine evaluation of this dispatch used residual_raw
+                # (anchored was False): the accepted (U, R) is an exact f64
+                # pair — anchor there; later fine evals are Taylor deltas
+                if use_delta:
+                    new_anchor = fine & ~anchored
+                    Aanc = jnp.where(new_anchor, U, Aanc)
+                    RA = jnp.where(new_anchor, R, RA)
+                    anchored = anchored | fine
                 # residual not decreasing (line-searched): count a stall —
                 # two in a row exits early so the host can either switch to
                 # exact f64 residuals (a COARSE-phase stall usually means
@@ -645,10 +696,13 @@ class IterativeStepper:
                 better = rn < rb
                 Ub = jnp.where(better, U, Ub)
                 rb = jnp.where(better, rn, rb)
-                return (U, it + 1, R, rn, stall, fine, Ub, rb)
+                return (U, it + 1, R, rn, stall, fine, Ub, rb,
+                        anchored, Aanc, RA)
 
-            _, iters, _, _, stall, fine_end, U, rnorm = jax.lax.while_loop(
-                cond, body, (U1, 0, R0, r0, 0, fine_init, U1, r0))
+            (_, iters, _, _, stall, fine_end, U, rnorm,
+             _, _, _) = jax.lax.while_loop(
+                cond, body,
+                (U1, 0, R0, r0, 0, fine_init, U1, r0, anchored0, U1, R0))
             # stats as ONE stacked f64 vector: the host fetches a single
             # buffer per dispatch. Five small per-field fetches between
             # back-to-back Newton dispatches reproducibly crashed the

@@ -179,9 +179,14 @@ def compute_tke(probe_velocities, times, period):
     return phase_t, tke
 
 
+# module-level figure size, set from --figure-size (reference
+# log_plotter.py:264 threads figure_size through every plot fn)
+_FIGSIZE = (10, 6)
+
+
 def _save_plot(x, ys, labels, title, ylabel, path, xlabel="Time [s]",
                semilogy=False):
-    fig = plt.figure(figsize=(10, 6))
+    fig = plt.figure(figsize=_FIGSIZE)
     plot = plt.semilogy if semilogy else plt.plot
     for y, lab in zip(ys, labels):
         n = min(len(x), len(y))
@@ -264,7 +269,7 @@ def plot_all(data, out_dir, period=None, save=True, select=None,
 
     # probe points
     if data["probe_points"] and want("probe_points", "probe_points_tke"):
-        fig = plt.figure(figsize=(10, 6))
+        fig = plt.figure(figsize=_FIGSIZE)
         for p, d in sel_probes(data["probe_points"]):
             n = min(len(t), len(d["magnitude"]))
             plt.plot(t[:n], d["magnitude"][:n], label=f"probe {p}")
@@ -277,7 +282,7 @@ def plot_all(data, out_dir, period=None, save=True, select=None,
         figures.append(out / "probe_points.png")
         # TKE
         if period and want("probe_points_tke"):
-            fig = plt.figure(figsize=(10, 6))
+            fig = plt.figure(figsize=_FIGSIZE)
             plotted = False
             for p, d in sel_probes(data["probe_points"]):
                 phase_t, tke = compute_tke(d["velocity"], t[: len(d["velocity"])],
@@ -295,7 +300,7 @@ def plot_all(data, out_dir, period=None, save=True, select=None,
             plt.close(fig)
     if data["probe_points_displacement"] and want(
             "probe_points_displacement"):
-        fig = plt.figure(figsize=(10, 6))
+        fig = plt.figure(figsize=_FIGSIZE)
         for p, d in sel_probes(data["probe_points_displacement"]):
             mag = d["displacement_magnitude"]
             n = min(len(t), len(mag))
@@ -413,7 +418,7 @@ def plot_average(data, out_dir, period):
              [fp["reynolds_mean"], fp["reynolds_min"], fp["reynolds_max"]],
              ["mean", "min", "max"], "Re")
     if data["probe_points"]:
-        fig = plt.figure(figsize=(10, 6))
+        fig = plt.figure(figsize=_FIGSIZE)
         plotted = False
         for p, d in sorted(data["probe_points"].items()):
             pt, m = phase_average(d["magnitude"], t[: len(d["magnitude"])],
@@ -448,7 +453,7 @@ def plot_compare_cycles(data, out_dir, period, probe_ids=None):
     figures = []
 
     def overlay(path, series, ylabel):
-        fig = plt.figure(figsize=(10, 6))
+        fig = plt.figure(figsize=_FIGSIZE)
         for c in range(n_cycles):
             seg = np.asarray(series)[c * spc: (c + 1) * spc]
             if len(seg) == 0:
@@ -508,7 +513,15 @@ def main(argv=None):
                         help="cardiac cycle length for TKE / cycle plots")
     parser.add_argument("--start-cycle", type=int, default=1)
     parser.add_argument("--end-cycle", type=int, default=None)
+    parser.add_argument("--figure-size", default="10,6",
+                        help="width,height inches (reference --figure-size)")
+    parser.add_argument("--log-level", type=int, default=20,
+                        help="logging level (reference --log-level)")
     args = parser.parse_args(argv)
+    import logging
+    logging.basicConfig(level=args.log_level)
+    global _FIGSIZE
+    _FIGSIZE = tuple(float(x) for x in args.figure_size.split(","))
     data = parse_log_file(args.log_file)
     if args.period and (args.start_cycle != 1 or args.end_cycle):
         data = trim_cycles(data, args.period, args.start_cycle,

@@ -19,6 +19,16 @@ _X64 = os.environ.get("VASP_TPU_X64", "1") != "0"
 
 
 def ensure_x64() -> None:
+    # Honor an explicit JAX_PLATFORMS request programmatically: some
+    # deployments ship a sitecustomize.py that imports jax and SETS
+    # jax_platforms (e.g. to a remote-TPU plugin) in every process,
+    # which silently overrides the env var. `JAX_PLATFORMS=cpu
+    # vasp-tpu-run ...` must mean CPU even there — and must not hang
+    # on an unreachable remote backend.
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms and jax.config.jax_platforms != env_platforms:
+        if not jax._src.xla_bridge.backends_are_initialized():
+            jax.config.update("jax_platforms", env_platforms)
     if _X64:
         jax.config.update("jax_enable_x64", True)
     # TPU f32 matmuls default to bf16-precision multiplies (eps ~8e-3):
