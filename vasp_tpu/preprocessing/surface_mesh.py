@@ -469,10 +469,13 @@ def axial_density(centers, r, method="constant", refine_region=None,
         kap = _smooth(kap[:, None], n_pass=4).ravel()
         d = 0.5 + kap / max(kap.mean(), 1e-30)
     if refine_region is not None:
-        cx, cy, cz, rad = [float(v) for v in refine_region]
-        inside = np.linalg.norm(
-            centers - np.array([cx, cy, cz]), axis=1) < rad
-        d = np.where(inside, d * float(refine_factor), d)
+        # one (x, y, z, rad) sphere or a list of them (the reference's
+        # --region-points accepts several refinement sites)
+        for cx, cy, cz, rad in np.atleast_2d(
+                np.asarray(refine_region, float)):
+            inside = np.linalg.norm(
+                centers - np.array([cx, cy, cz]), axis=1) < rad
+            d = np.where(inside, d * float(refine_factor), d)
     return d
 
 
@@ -502,16 +505,23 @@ def resample_layers(centers, e1, e2, r, n_z, density):
     return cn, e1n, e2n, rn
 
 
-def add_flow_extensions(centers, e1, e2, r, ext_diams=2.0):
+def add_flow_extensions(centers, e1, e2, r, ext_diams=2.0,
+                        inlet_diams=None, outlet_diams=None):
     """Extend the tube along the end tangents by ext_diams local diameters
     with frozen end cross-sections (the reference's add_flow_extension
     stage, preprocessing.py:336-384 — straight inflow/outflow segments so
-    BCs sit away from the region of interest)."""
+    BCs sit away from the region of interest). inlet_diams/outlet_diams
+    override ext_diams per end (reference -fli/-flo flags); 0 skips
+    that end."""
     n_z = len(centers) - 1
     dz = np.linalg.norm(np.diff(centers, axis=0), axis=1).mean()
+    per_end = {0: ext_diams if inlet_diams is None else inlet_diams,
+               -1: ext_diams if outlet_diams is None else outlet_diams}
     for end in (0, -1):
+        if per_end[end] <= 0:
+            continue
         d_mean = 2.0 * r[end].mean()
-        n_ext = max(1, int(round(ext_diams * d_mean / max(dz, 1e-12))))
+        n_ext = max(1, int(round(per_end[end] * d_mean / max(dz, 1e-12))))
         tang = (centers[1] - centers[0]) if end == 0 else (
             centers[-1] - centers[-2])
         tang = tang / max(np.linalg.norm(tang), 1e-30)
@@ -534,7 +544,9 @@ def add_flow_extensions(centers, e1, e2, r, ext_diams=2.0):
 def surface_fsi_mesh(stl_path, n_z=40, n_theta=16, n_r_fluid=3,
                      n_r_solid=1, solid_thickness=None,
                      thickness_frac=0.25, scale_factor=1.0,
-                     flow_extensions=0.0, smoothing_method="no_smooth",
+                     flow_extensions=0.0, inlet_extension=None,
+                     outlet_extension=None, no_solid=False,
+                     smoothing_method="no_smooth",
                      smoothing_iterations=25, smoothing_factor=0.25,
                      meshing_method="constant", refine_region=None,
                      refine_factor=4.0) -> TetMesh:
@@ -575,11 +587,17 @@ def surface_fsi_mesh(stl_path, n_z=40, n_theta=16, n_r_fluid=3,
                              refine_region=refine_region,
                              refine_factor=refine_factor)
         centers, e1, e2, r = resample_layers(centers, e1, e2, r, n_z, dens)
-    if flow_extensions > 0:
+    if (flow_extensions > 0 or (inlet_extension or 0) > 0
+            or (outlet_extension or 0) > 0):
         centers, e1, e2, r = add_flow_extensions(
-            centers, e1, e2, r, ext_diams=flow_extensions)
+            centers, e1, e2, r, ext_diams=flow_extensions,
+            inlet_diams=inlet_extension, outlet_diams=outlet_extension)
         n_z = len(centers) - 1
 
+    if no_solid:
+        # fluid-only mesh (reference --no-solid): no wall layer; the
+        # lumen surface takes the fsi/wall id 22
+        n_r_solid = 0
     if solid_thickness is not None:
         thick = np.full_like(r, float(solid_thickness))
     else:
@@ -644,8 +662,12 @@ def surface_fsi_mesh(stl_path, n_z=40, n_theta=16, n_r_fluid=3,
     markers = np.zeros(len(fv), np.int64)
     markers[exterior & on_z0 & fluid_facet] = 2
     markers[exterior & on_zL & fluid_facet] = 3
-    markers[exterior & (on_z0 | on_zL) & ~fluid_facet] = 11
-    markers[exterior & on_outer] = 33
-    markers[(~exterior) & on_iface] = 22
+    if no_solid:
+        # exterior lumen surface is the wall (fsi id 22); no 11/33 rings
+        markers[exterior & on_outer & ~(on_z0 | on_zL)] = 22
+    else:
+        markers[exterior & (on_z0 | on_zL) & ~fluid_facet] = 11
+        markers[exterior & on_outer] = 33
+        markers[(~exterior) & on_iface] = 22
     keep = markers > 0
     return TetMesh(coords, cells, cell_markers, fv[keep], markers[keep])
