@@ -299,3 +299,30 @@ def test_delta_endgame_matches_raw_f64(tube_problem):
     a, b = np.asarray(U_raw), np.asarray(U_delta)
     assert np.allclose(a, b, atol=1e-5 * np.abs(a).max()), (
         np.abs(a - b).max(), np.abs(a).max())
+
+
+def test_ew_forcing_matches_fixed(tube_problem):
+    """Eisenstat-Walker adaptive forcing (StepOptions.forcing="ew") must
+    converge to the same state as fixed gmres_tol forcing — the loose
+    early directions only change the path, not the root."""
+    sys_, bc_set, load = tube_problem
+    U0 = sys_.zero_state()
+    bcv = jnp.asarray(bc_set.values_at(0.001))
+    common = dict(atol=1e-6, rtol=1e-6, max_it=10, gmres_tol=1e-3,
+                  gmres_restart=60, gmres_maxiter=120, overlap=2,
+                  jac_dtype="f32", krylov_dtype="f32",
+                  residual_dtype="f32")
+    U_ew, info_e = IterativeStepper(
+        sys_, bc_set, StepOptions(forcing="ew", **common),
+        recompute_tstep=20).step(U0, bcv, load, tstep=1)
+    U_fx, info_f = IterativeStepper(
+        sys_, bc_set, StepOptions(forcing="fixed", **common),
+        recompute_tstep=20).step(U0, bcv, load, tstep=1)
+    assert float(info_e["residual"]) <= 1e-6
+    assert float(info_f["residual"]) <= 1e-6
+    # two inexact-Newton paths converge to the SAME root only up to what
+    # atol bounds through the conditioning (equilibrated cond ~4e6):
+    # measured 5.7e-5 relative on this fixture
+    a, b = np.asarray(U_fx), np.asarray(U_ew)
+    assert np.allclose(a, b, atol=2e-4 * np.abs(a).max()), (
+        np.abs(a - b).max(), np.abs(a).max())

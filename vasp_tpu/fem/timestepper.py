@@ -129,6 +129,17 @@ class StepOptions:
     # step, 1e-11 after). Chunked dispatch re-anchors every NEWTON_CHUNK
     # iterations, bounding anchor staleness.
     delta_endgame: bool = True
+    # GMRES forcing strategy: "fixed" solves every Newton direction to
+    # gmres_tol; "ew" is Eisenstat-Walker choice 2 (eta_k =
+    # gamma (r_k / r_{k-1})^2, safeguarded into [gmres_tol, ew_max] with
+    # the over-solve floor 0.1 atol / r_k) — loose directions while the
+    # outer iteration is far from the root, tight only when it pays.
+    # Classical inexact-Newton theory (Eisenstat & Walker, SISC 1996);
+    # biggest effect in damped tails where fixed 1e-3 over-solves every
+    # iteration.
+    forcing: str = "fixed"
+    ew_gamma: float = 0.9
+    ew_max: float = 1e-2
     # "extrapolate" starts Newton from the linear time-extrapolation
     # 2 U_n - U_{n-1} instead of U_n (consecutive-tstep calls only).
     # On converged production steps this removes one endgame Newton
@@ -577,7 +588,9 @@ class IterativeStepper:
             kf32x = (opt.krylov_dtype == "f32") and not exact
             jdtx = None if exact else jdtype
 
-            def newton_update(U, R):
+            use_ew = opt.forcing == "ew" and not exact
+
+            def newton_update(U, R, eta):
                 # fresh Jacobian each iteration (true Newton); only the RAS
                 # preconditioner is reused across iterations and steps.
                 # R: the CURRENT residual vector (carried through the loop —
@@ -602,6 +615,11 @@ class IterativeStepper:
                 # the last rebuild), not direction dtype — so tighten tol
                 # and give it 5x the restart cycles
                 gtol = min(opt.gmres_tol, 1e-5) if exact else opt.gmres_tol
+                if use_ew:
+                    # Eisenstat-Walker: eta is the traced per-iteration
+                    # forcing term (gmres's running-residual early exit
+                    # honors a traced tol)
+                    gtol = eta.astype(jnp.float32 if kf32x else jnp.float64)
                 gcyc = max(1, opt.gmres_maxiter // opt.gmres_restart)
                 if exact:
                     gcyc *= 5
@@ -634,15 +652,15 @@ class IterativeStepper:
 
             def cond(carry):
                 (U, it, R, rnorm, stall, fine, Ub, rb,
-                 anchored, Aanc, RA) = carry
+                 anchored, Aanc, RA, eta) = carry
                 return ((it < it_cap) & (rnorm > opt.atol)
                         & (rnorm / r0_safe > opt.rtol) & (stall < 2))
 
             def body(carry):
                 (U, it, R, rnorm, stall, fine0, Ub, rb,
-                 anchored, Aanc, RA) = carry
+                 anchored, Aanc, RA, eta) = carry
                 anc = (anchored, Aanc, RA)
-                dx = newton_update(U, R)
+                dx = newton_update(U, R, eta)
                 fine = fine0 | (rnorm < ENDGAME)
                 # full-step-first: near the root exact Newton descends with
                 # the full step — ONE residual eval; the halving search
@@ -696,13 +714,23 @@ class IterativeStepper:
                 better = rn < rb
                 Ub = jnp.where(better, U, Ub)
                 rb = jnp.where(better, rn, rb)
+                # Eisenstat-Walker choice 2 for the NEXT direction:
+                # eta = gamma (r_k / r_{k-1})^2, floored by the over-solve
+                # guard 0.1 atol / r_k, clipped into [gmres_tol, ew_max]
+                eta_next = jnp.clip(
+                    jnp.maximum(
+                        opt.ew_gamma * (rn / jnp.maximum(rnorm, 1e-300))
+                        ** 2,
+                        0.1 * opt.atol / jnp.maximum(rn, 1e-300)),
+                    opt.gmres_tol, opt.ew_max)
                 return (U, it + 1, R, rn, stall, fine, Ub, rb,
-                        anchored, Aanc, RA)
+                        anchored, Aanc, RA, eta_next)
 
             (_, iters, _, _, stall, fine_end, U, rnorm,
-             _, _, _) = jax.lax.while_loop(
+             _, _, _, _) = jax.lax.while_loop(
                 cond, body,
-                (U1, 0, R0, r0, 0, fine_init, U1, r0, anchored0, U1, R0))
+                (U1, 0, R0, r0, 0, fine_init, U1, r0, anchored0, U1, R0,
+                 jnp.float64(opt.gmres_tol)))
             # stats as ONE stacked f64 vector: the host fetches a single
             # buffer per dispatch. Five small per-field fetches between
             # back-to-back Newton dispatches reproducibly crashed the
