@@ -74,6 +74,26 @@ def run_simulation(problem, overrides=None):
     folder.mkdir(parents=True, exist_ok=True)
     cfg["folder"] = str(folder)
 
+    # tee stdout into <folder>/run.log so vasp-log-plotter always has a log
+    # to parse (the reference relies on the queue system capturing stdout;
+    # appending keeps restart-into-same-folder runs in one file)
+    _log_fh = open(folder / "run.log", "a", buffering=1)
+    _stdout_write = sys.stdout.write
+
+    def _tee(text):
+        _log_fh.write(text)
+        return _stdout_write(text)
+
+    sys.stdout.write = _tee
+    try:
+        return _run_simulation_inner(mod, cfg)
+    finally:
+        sys.stdout.write = _stdout_write
+        _log_fh.close()
+
+
+def _run_simulation_inner(mod, cfg):
+    folder = Path(cfg["folder"])
     ns = dict(cfg)
     mesh = mod.get_mesh_domain_and_boundaries(**ns)
     # persist the (possibly re-marked / generated) mesh in the reference's
