@@ -91,6 +91,11 @@ def measure(size_name):
         atol=1e-6, rtol=1e-6, max_it=6,
         gmres_tol=1e-3, gmres_restart=60, gmres_maxiter=120,
         jac_chunk=8192, overlap=2, jac_dtype="f32", krylov_dtype="f32",
+        # experiment knobs (A/B without editing the production defaults):
+        # BENCH_FORCING=ew enables Eisenstat-Walker adaptive forcing;
+        # BENCH_DELTA=0 disables the Taylor-delta endgame
+        forcing=os.environ.get("BENCH_FORCING", "fixed"),
+        delta_endgame=os.environ.get("BENCH_DELTA", "1") != "0",
         # hybrid: f32 element-work residuals in the approach phase,
         # exact f64 below 30x atol (fem/timestepper.py)
         residual_dtype="f32",
