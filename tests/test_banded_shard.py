@@ -124,3 +124,32 @@ def test_sharded_banded_second_step_reuses(tube_system):
     assert np.all(np.isfinite(np.asarray(U2)))
     res = float(info2["residual"])
     assert res < 1e-8 * max(1.0, float(info2["r0"])) or res < 1e-8
+
+
+def test_sharded_hybrid_delta_endgame(tube_system):
+    """The TPU production residual ladder on the SHARDED path: f32 coarse
+    residuals, Taylor-delta endgame around the per-dispatch f64 anchor,
+    host certification re-entry — must converge to the same state as the
+    sharded raw-f64 path (IterativeStepper hybrid semantics, ported to
+    banded_shard.spmd_newton)."""
+    sys_, bc_set, load = tube_system
+    U0 = sys_.zero_state()
+    bcv = jnp.asarray(bc_set.values_at(0.001))
+    common = dict(atol=1e-6, rtol=1e-6, max_it=10, gmres_tol=1e-3,
+                  gmres_restart=60, gmres_maxiter=240,
+                  jac_dtype="f32", krylov_dtype="f32")
+    mesh8 = build_device_mesh(8, "dof")
+    U_h, info_h = ShardedBandedStepper(
+        sys_, bc_set,
+        StepOptions(residual_dtype="f32", delta_endgame=True, **common),
+        mesh=mesh8, recompute_tstep=20).step(U0, bcv, load, tstep=1)
+    U_r, info_r = ShardedBandedStepper(
+        sys_, bc_set, StepOptions(**common),
+        mesh=mesh8, recompute_tstep=20).step(U0, bcv, load, tstep=1)
+    assert float(info_h["residual"]) <= 1e-6
+    assert float(info_r["residual"]) <= 1e-6
+    a, b = np.asarray(U_r), np.asarray(U_h)
+    scale = np.abs(a).max()
+    # both roots satisfy atol; agreement bounded by conditioning
+    assert np.allclose(a, b, atol=2e-4 * scale), (
+        np.abs(a - b).max(), scale)

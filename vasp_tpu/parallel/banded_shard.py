@@ -176,6 +176,57 @@ def _local_residual(skeleton, blocks_loc, U_ext, U0_ext, size, dtype=None):
     return R
 
 
+def _local_residual_f32(skeleton, blocks_loc, U_ext, U0_ext, size):
+    """f32 element work, f64 accumulation (Assembler.residual's hybrid
+    dtype semantics, dof-sharded)."""
+    R = jnp.zeros(size, jnp.float64)
+    U32, U032 = U_ext.astype(jnp.float32), U0_ext.astype(jnp.float32)
+    for (kind, _, kernel), data in zip(skeleton, blocks_loc):
+        dofs = data["dofs"]
+        if kind == "cell":
+            r = jax.vmap(kernel)(U32[dofs], U032[dofs],
+                                 data["Jinv"].astype(jnp.float32),
+                                 data["detJ"].astype(jnp.float32),
+                                 data["vol"].astype(jnp.float32))
+        else:
+            r = jax.vmap(kernel)(U32[dofs],
+                                 data["area2"].astype(jnp.float32))
+        R = R.at[dofs.reshape(-1)].add(r.reshape(-1).astype(jnp.float64))
+    return R
+
+
+def _local_residual_delta(skeleton, blocks_loc, U_ext, A_ext, U0_ext, size,
+                          order=3):
+    """R(U) - R(A) as the order-`order` Taylor polynomial along U - A,
+    f32 element work, f64 accumulation (Assembler.residual_delta, the
+    TPU endgame fast path, dof-sharded)."""
+    from jax.experimental import jet
+
+    du32 = (U_ext - A_ext).astype(jnp.float32)
+    A32, U032 = A_ext.astype(jnp.float32), U0_ext.astype(jnp.float32)
+    R = jnp.zeros(size, jnp.float64)
+    for (kind, _, kernel), data in zip(skeleton, blocks_loc):
+        dofs = data["dofs"]
+        if kind == "cell":
+            prim = (A32[dofs], U032[dofs],
+                    data["Jinv"].astype(jnp.float32),
+                    data["detJ"].astype(jnp.float32),
+                    data["vol"].astype(jnp.float32))
+        else:
+            prim = (A32[dofs], data["area2"].astype(jnp.float32))
+        lead = du32[dofs]
+        fn = jax.vmap(kernel)
+        zeros = [jnp.zeros_like(p) for p in prim]
+        series = tuple(
+            [lead if i == 0 else zeros[i]] + [zeros[i]] * (order - 1)
+            for i in range(len(prim))
+        )
+        _, out_series = jet.jet(fn, prim, series)
+        r = sum(out_series)
+        R = R.at[dofs.reshape(-1)].add(r.reshape(-1).astype(jnp.float64))
+    return R
+
+
 def _local_jacobians(skeleton, blocks_loc, U_ext, U0_ext, chunk, dtype):
     from vasp_tpu.fem.assembly import chunked_vmap
 
@@ -490,13 +541,21 @@ class ShardedBandedStepper:
             return (dr.astype(jnp.float64), dc.astype(jnp.float64),
                     Sinv, H, G)
 
+        hybrid = opt.residual_dtype == "f32"
+        ENDGAME = opt.endgame_factor * opt.atol
+        use_delta = hybrid and opt.delta_endgame
+        use_ew = opt.forcing == "ew"
+
         def spmd_newton(U0_loc, Ustart_loc, bcv_loc, load_loc, mask_loc,
-                        dr, dc, Sinv, H, G, blocks_loc):
+                        fine_start, dr, dc, Sinv, H, G, blocks_loc):
             blocks_loc = jax.tree.map(lambda a: a[0], blocks_loc)
             ops = make_spmd_ops(plan, axis)
             ext_gather, halo_add, halo_max, red = ops
             U1 = jnp.where(mask_loc, bcv_loc, Ustart_loc)
             U0_ext = ext_gather(U0_loc)
+
+            def _norm(R):
+                return jnp.sqrt(red(jnp.dot(R, R)))
 
             def residual_raw(U_loc):
                 R = _local_residual(skeleton, blocks_loc,
@@ -504,14 +563,39 @@ class ShardedBandedStepper:
                 R = halo_add(R) + load_loc
                 return jnp.where(mask_loc, 0.0, R)
 
-            def rnorm(U_loc):
-                R = residual_raw(U_loc)
-                return jnp.sqrt(red(jnp.dot(R, R)))
+            def residual_f32(U_loc):
+                R = _local_residual_f32(skeleton, blocks_loc,
+                                        ext_gather(U_loc), U0_ext, size)
+                R = halo_add(R) + load_loc
+                return jnp.where(mask_loc, 0.0, R)
+
+            def residual_fine(U_loc, anc):
+                # Taylor-delta endgame around the per-dispatch exact
+                # anchor (IterativeStepper semantics; timestepper.py)
+                if not use_delta:
+                    return residual_raw(U_loc)
+                anchored, Aanc, RA = anc
+
+                def dlt(_):
+                    d = _local_residual_delta(
+                        skeleton, blocks_loc, ext_gather(U_loc),
+                        ext_gather(Aanc), U0_ext, size)
+                    return jnp.where(mask_loc, 0.0, RA + halo_add(d))
+
+                return jax.lax.cond(anchored, dlt,
+                                    lambda _: residual_raw(U_loc), None)
+
+            def residual_sel(U_loc, fine, anc):
+                if not hybrid:
+                    return residual_raw(U_loc)
+                return jax.lax.cond(
+                    fine, lambda _: residual_fine(U_loc, anc),
+                    lambda _: residual_f32(U_loc), None)
 
             wdt = jnp.float32 if kf32 else jnp.float64
             drw, dcw = dr.astype(wdt), dc.astype(wdt)
 
-            def newton_update(U_loc):
+            def newton_update(U_loc, R, eta):
                 jacs = _local_jacobians(skeleton, blocks_loc,
                                         ext_gather(U_loc), U0_ext,
                                         opt.jac_chunk, jdtype)
@@ -523,39 +607,91 @@ class ShardedBandedStepper:
                     y = halo_add(y)
                     return jnp.where(mask_loc, x_loc, drw * y)
 
-                Rs = (dr * residual_raw(U_loc)).astype(wdt)
+                Rs = (dr * R).astype(wdt)
+                gtol = eta.astype(wdt) if use_ew else opt.gmres_tol
                 y, _ = gmres(
                     matvec, Rs, M=lambda r: apply_banded(Sinv, H, G, r),
                     restart=opt.gmres_restart,
                     cycles=max(1, opt.gmres_maxiter // opt.gmres_restart),
-                    tol=opt.gmres_tol, reduce_fn=red,
+                    tol=gtol, reduce_fn=red,
                 )
                 return dc * y.astype(jnp.float64)
 
-            r0 = rnorm(U1)
+            if hybrid:
+                fs = jnp.asarray(fine_start)
+                R0 = jax.lax.cond(fs, residual_raw, residual_f32, U1)
+                r0 = _norm(R0)
+
+                def _refine(_):
+                    Rf = residual_raw(U1)
+                    return Rf, _norm(Rf)
+
+                R0, r0 = jax.lax.cond(~fs & (r0 < ENDGAME), _refine,
+                                      lambda _: (R0, r0), None)
+                fine_init = fs | (r0 < ENDGAME)
+            else:
+                R0 = residual_raw(U1)
+                r0 = _norm(R0)
+                fine_init = jnp.bool_(True)
             r0_safe = jnp.where(r0 > 0, r0, 1.0)
+            anchored0 = fine_init if use_delta else jnp.bool_(False)
 
             def cond(carry):
-                U, it, rn, stall, Ub, rb = carry
+                (U, it, R, rn, stall, fine, Ub, rb,
+                 anchored, Aanc, RA, eta) = carry
                 return ((it < opt.max_it) & (rn > opt.atol)
                         & (rn / r0_safe > opt.rtol) & (stall < 2))
 
             def body(carry):
-                U, it, rn_prev, stall, Ub, rb = carry
-                dx = newton_update(U)
-                from vasp_tpu.fem.timestepper import _damped_update
+                (U, it, R, rn_prev, stall, fine0, Ub, rb,
+                 anchored, Aanc, RA, eta) = carry
+                anc = (anchored, Aanc, RA)
+                dx = newton_update(U, R, eta)
+                fine = fine0 | (rn_prev < ENDGAME)
+                Ufull = U - opt.lmbda * dx
+                Rfull = residual_sel(Ufull, fine, anc)
+                rfull = _norm(Rfull)
 
-                U, rn = _damped_update(U, dx, rnorm, rn_prev, opt.lmbda)
+                def accept(_):
+                    return Ufull, Rfull, rfull
+
+                def search(_):
+                    from vasp_tpu.fem.timestepper import _backtrack_update
+
+                    Us, rs = _backtrack_update(
+                        U, dx,
+                        lambda Ut: _norm(residual_sel(Ut, fine, anc)),
+                        opt.lmbda,
+                    )
+                    return Us, residual_sel(Us, fine, anc), rs
+
+                good = jnp.isfinite(rfull) & (rfull < rn_prev)
+                U, R, rn = jax.lax.cond(good, accept, search, None)
+                if use_delta:
+                    new_anchor = fine & ~anchored
+                    Aanc = jnp.where(new_anchor, U, Aanc)
+                    RA = jnp.where(new_anchor, R, RA)
+                    anchored = anchored | fine
                 stall = jnp.where(rn > 0.9 * rn_prev, stall + 1, 0)
                 better = rn < rb
                 Ub = jnp.where(better, U, Ub)
                 rb = jnp.where(better, rn, rb)
-                return (U, it + 1, rn, stall, Ub, rb)
+                eta_next = jnp.clip(
+                    jnp.maximum(
+                        opt.ew_gamma
+                        * (rn / jnp.maximum(rn_prev, 1e-300)) ** 2,
+                        0.1 * opt.atol / jnp.maximum(rn, 1e-300)),
+                    opt.gmres_tol, opt.ew_max)
+                return (U, it + 1, R, rn, stall, fine, Ub, rb,
+                        anchored, Aanc, RA, eta_next)
 
-            _, iters, _, stall, U, rn = jax.lax.while_loop(
-                cond, body, (U1, 0, r0, 0, U1, r0))
+            (_, iters, _, _, stall, fine_end, U, rn,
+             _, _, _, _) = jax.lax.while_loop(
+                cond, body,
+                (U1, 0, R0, r0, 0, fine_init, U1, r0, anchored0, U1, R0,
+                 jnp.float64(opt.gmres_tol)))
             return U, dict(iterations=iters, residual=rn, r0=r0,
-                           stalled=stall >= 2)
+                           stalled=stall >= 2, fine=fine_end)
 
         mesh = self.mesh
         ax = self.axis
@@ -578,8 +714,8 @@ class ShardedBandedStepper:
         )
         sharded_newton = shard_map(
             spmd_newton, mesh=mesh,
-            in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(ax), P(ax),
-                      P(ax), P(ax), P(ax),
+            in_specs=(P(ax), P(ax), P(ax), P(ax), P(ax), P(), P(ax),
+                      P(ax), P(ax), P(ax), P(ax),
                       jax.tree.map(lambda _: P(ax), self.blocks_dev)),
             out_specs=(P(ax), P()),
             check_vma=False,
@@ -591,10 +727,11 @@ class ShardedBandedStepper:
                                    blocks)
 
         @jax.jit
-        def newton(U0, Ustart, bcv, load, mask, dr, dc, Sinv, H, G, blocks):
+        def newton(U0, Ustart, bcv, load, mask, fine_start, dr, dc, Sinv,
+                   H, G, blocks):
             Up, stats = sharded_newton(
                 to_perm(U0), to_perm(Ustart), to_perm(bcv), to_perm(load),
-                mask, dr, dc, Sinv, H, G, blocks)
+                mask, fine_start, dr, dc, Sinv, H, G, blocks)
             return from_perm(Up), stats
 
         self._rebuild_fn = rebuild
@@ -617,18 +754,40 @@ class ShardedBandedStepper:
             fresh = True
         dr, dc, Sinv, H, G = self._factors
         mask_flat = self.mask_dev.reshape(-1)
-        U, stats = self._newton_fn(U0, U0, bc_values, load, mask_flat,
-                                   dr, dc, Sinv, H, G, self.blocks_dev)
-        res = float(stats["residual"])
+
+        def run(Ustart, fine_start):
+            return self._newton_fn(U0, Ustart, bc_values, load, mask_flat,
+                                   jnp.bool_(fine_start), dr, dc, Sinv, H,
+                                   G, self.blocks_dev)
+
+        def conv(stats, r0):
+            res = float(stats["residual"])
+            return (res <= self.opt.atol
+                    or res <= self.opt.rtol * max(r0, 1e-300))
+
+        U, stats = run(U0, False)
         r0 = float(stats["r0"])
-        converged = (res <= self.opt.atol
-                     or res <= self.opt.rtol * max(r0, 1e-300))
-        if not converged and not fresh:
+        if (conv(stats, r0) and self.opt.residual_dtype == "f32"
+                and not bool(stats["fine"])):
+            # coarse (f32) phase claims convergence: certify with exact
+            # residuals before believing it (IterativeStepper semantics)
+            it0 = int(stats["iterations"])
+            U, stats = run(U, True)
+            stats = dict(stats)
+            stats["iterations"] = int(stats["iterations"]) + it0
+        if not conv(stats, r0) and not fresh:
             self._rebuild(U, U0, tstep)
             it0 = int(stats["iterations"])
             dr, dc, Sinv, H, G = self._factors
-            U, stats = self._newton_fn(U0, U, bc_values, load, mask_flat,
-                                       dr, dc, Sinv, H, G, self.blocks_dev)
+            U, stats = run(U, bool(stats.get("fine", False)))
             stats = dict(stats)
-            stats["iterations"] = stats["iterations"] + it0
+            stats["iterations"] = int(stats["iterations"]) + it0
+        if (not conv(stats, r0) and self.opt.residual_dtype == "f32"
+                and not bool(stats["fine"])):
+            # coarse-phase stall at the f32 noise floor: retry with exact
+            # residuals from the current state
+            it0 = int(stats["iterations"])
+            U, stats = run(U, True)
+            stats = dict(stats)
+            stats["iterations"] = int(stats["iterations"]) + it0
         return U, stats
