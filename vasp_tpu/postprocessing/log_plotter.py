@@ -499,7 +499,8 @@ _SELECTORS = (
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="vasp-log-plotter")
     parser.add_argument("--log-file", required=True)
-    parser.add_argument("--save-figures", action="store_true", default=True)
+    parser.add_argument("--save", "--save-figures", dest="save_figures",
+                        action="store_true", default=True)
     parser.add_argument("--output-directory", default=None)
     parser.add_argument("--plot-all", action="store_true")
     for name in _SELECTORS:

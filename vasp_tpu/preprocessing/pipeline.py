@@ -234,6 +234,18 @@ def read_command_line(argv=None):
     p.add_argument("--remove-all", action="store_true",
                    help="delete intermediate artifacts (centerline json) "
                         "after a successful run")
+    p.add_argument("-mp", "--meshing-parameters", type=float, nargs="+",
+                   default=None,
+                   help="constant sizing: [edge length] (reference -mp "
+                        "semantics); other methods ignore it")
+    p.add_argument("--has-multiple-inlets", action="store_true",
+                   help="NOT SUPPORTED by the structured tube backend "
+                        "(single inlet/outlet pair); fails loudly")
+    p.add_argument("--extract-branch", action="store_true",
+                   help="NOT SUPPORTED by the structured tube backend; "
+                        "fails loudly")
+    p.add_argument("--branch-group-ids", type=int, nargs="+", default=None)
+    p.add_argument("--branch-ids-offset", type=int, default=1000)
     p.add_argument("--verbosity", type=int, default=1)
     p.add_argument("--visualize", action="store_true",
                    help="write <mesh>_preview.png (matplotlib cross-"
@@ -407,6 +419,19 @@ def _write_preview(mesh, path):
 def main_meshing(argv=None):
     args = read_command_line(argv)
     verbose = args.verbosity > 0
+    if args.has_multiple_inlets or args.extract_branch \
+            or args.branch_group_ids:
+        raise NotImplementedError(
+            "multi-inlet / branch extraction requires a multi-branch "
+            "surface backbone; the structured tube parameterization "
+            "(preprocessing/surface_mesh.py) covers single-branch vessels "
+            "only (reference branch clipping: "
+            "vmtkmeshgeneratorfsi.py:255-316)")
+    if args.meshing_parameters and args.meshing_method == "constant" \
+            and args.edge_length is None:
+        # reference -mp semantics: constant sizing's parameter IS the
+        # target edge length
+        args.edge_length = float(args.meshing_parameters[0])
     # reference aliases fold into the canonical knobs
     if args.number_of_sublayers_fluid is not None:
         args.n_r_fluid = args.number_of_sublayers_fluid
