@@ -218,10 +218,19 @@ def test_f64_escalation_on_ill_conditioned_blocks():
             x[k] = xn
         return np.linalg.norm(tri_matvec(C, D, B, x) - b) / np.linalg.norm(b)
 
-    Sinv, H, G, rel_probe = banded_mod.factorize_banded(Cj, Dj, Bj)
+    # bf16 storage requested explicitly: this test exercises the bf16
+    # breakdown diagnostic (the production default is f32 storage, which
+    # handles this fixture fine — measured rel ~9e-5 on it)
+    Sinv, H, G, rel_probe = banded_mod.factorize_banded(
+        Cj, Dj, Bj, factor_dtype=jnp.bfloat16)
     # the probe-solve diagnostic trips (threshold 1.0 in the stepper;
     # structured tubes measure ~1e-2, the vmtk fixture ~48)
     assert float(rel_probe) > 1.0, float(rel_probe)
+
+    # f32 storage on the same fixture is healthy — the preconditioner is
+    # an exact band solve up to f32 rounding
+    _, _, _, rel_f32 = banded_mod.factorize_banded(Cj, Dj, Bj)
+    assert float(rel_f32) < 1e-2, float(rel_f32)
     rel_bf16 = solve_with(Sinv, H, G)
     # the probe agrees with the independent numpy solve-quality measure
     assert float(rel_probe) > 0.1 * rel_bf16

@@ -13,7 +13,7 @@ def test_gmres_spd():
     A = A @ A.T + n * np.eye(n)
     b = rng.standard_normal(n)
     Aj = jnp.asarray(A)
-    x, (rnorm, k) = gmres(lambda v: Aj @ v, jnp.asarray(b), restart=25,
+    x, (rnorm, k, _it) = gmres(lambda v: Aj @ v, jnp.asarray(b), restart=25,
                           cycles=6, tol=1e-12)
     assert np.allclose(np.asarray(Aj @ x), b, atol=1e-8)
 
@@ -25,7 +25,7 @@ def test_gmres_nonsymmetric_preconditioned():
     b = rng.standard_normal(n)
     Aj = jnp.asarray(A)
     Minv = jnp.asarray(np.diag(1.0 / np.diag(A)))
-    x, (rnorm, k) = gmres(lambda v: Aj @ v, jnp.asarray(b),
+    x, (rnorm, k, _it) = gmres(lambda v: Aj @ v, jnp.asarray(b),
                           M=lambda r: Minv @ r, restart=40, cycles=6,
                           tol=1e-12)
     assert np.linalg.norm(np.asarray(Aj @ x) - b) < 1e-7
@@ -38,7 +38,7 @@ def test_gmres_exact_in_n_iterations():
     A = rng.standard_normal((n, n)) + 5 * np.eye(n)
     b = rng.standard_normal(n)
     Aj = jnp.asarray(A)
-    x, (rnorm, k) = gmres(lambda v: Aj @ v, jnp.asarray(b), restart=n,
+    x, (rnorm, k, _it) = gmres(lambda v: Aj @ v, jnp.asarray(b), restart=n,
                           cycles=1, tol=1e-13)
     assert np.linalg.norm(np.asarray(Aj @ x) - b) < 1e-9
     assert int(k) == 1
@@ -63,5 +63,5 @@ def test_gmres_jittable():
 def test_gmres_zero_rhs():
     n = 10
     Aj = jnp.eye(n)
-    x, (rnorm, k) = gmres(lambda v: Aj @ v, jnp.zeros(n), restart=5, cycles=2)
+    x, (rnorm, k, _it) = gmres(lambda v: Aj @ v, jnp.zeros(n), restart=5, cycles=2)
     assert np.allclose(np.asarray(x), 0.0)

@@ -189,7 +189,7 @@ def _probe_rel(Cm, D, Bm, Sinv, H, G):
     return jnp.linalg.norm(y - b) / jnp.linalg.norm(b)
 
 
-def factorize_banded(Cm, D, Bm):
+def factorize_banded(Cm, D, Bm, factor_dtype=jnp.float32):
     """Block-Thomas factorization, all-MXU.
 
     Two-phase for HBM headroom at 185k dofs (16 GiB chip): the scan
@@ -204,7 +204,16 @@ def factorize_banded(Cm, D, Bm):
     when rel exceeds ~1 (bf16 rounding of the factors collapses on the
     near-singular Schur chains of unstructured vmtk meshes, measured
     rel ~48 on the reference stenosis fixture; structured tubes sit at
-    ~1e-2 and never escalate)."""
+    ~1e-2 and never escalate).
+
+    factor_dtype: storage precision of the emitted Sinv/H/G. f32 is the
+    default: the block-tridiagonal pattern covers the FULL RCM band, so
+    f32 factors make the preconditioner an essentially exact solve and
+    GMRES converges in 1 inner iteration vs 8 with bf16 at tol 1e-3
+    (measured, 4k-cell bench tube; bf16 factor rounding is amplified by
+    the Schur block conditioning into ~0.4/iteration contraction). bf16
+    remains the choice where HBM is the binding constraint (the lowmem
+    variant at 185k dofs)."""
     nb, c, _ = D.shape
     eye2 = 2.0 * jnp.eye(c, dtype=jnp.float32)
 
@@ -215,18 +224,18 @@ def factorize_banded(Cm, D, Bm):
         Si = jnp.linalg.inv(S)
         Si = Si @ (eye2 - S @ Si)
         Gk = jnp.matmul(Si, Bk, preferred_element_type=jnp.float32)
-        return Gk, Si.astype(jnp.bfloat16)
+        return Gk, Si.astype(factor_dtype)
 
     G0 = jnp.zeros((c, c), jnp.float32)
     _, Sinv = jax.lax.scan(step, G0, (Cm, D, Bm))
     H = jnp.einsum("kab,kbc->kac", Sinv, Cm,
-                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                   preferred_element_type=jnp.float32).astype(factor_dtype)
     G = jnp.einsum("kab,kbc->kac", Sinv, Bm,
-                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+                   preferred_element_type=jnp.float32).astype(factor_dtype)
     return Sinv, H, G, _probe_rel(Cm, D, Bm, Sinv, H, G)
 
 
-def factorize_banded_lowmem(Cm, D, Bm):
+def factorize_banded_lowmem(Cm, D, Bm, factor_dtype=jnp.bfloat16):
     """Schur scan emitting ONLY Sinv (bf16): at ~190k dofs (c=4488, nb=42)
     the H/G factors of factorize_banded push the rebuild peak to ~14 GB and
     the chip OOMs; keeping the raw C/B (already resident) and folding the
@@ -236,7 +245,12 @@ def factorize_banded_lowmem(Cm, D, Bm):
     No quality probe here: lowmem-scale problems do not escalate (the
     emulated-f64 factorization at this size is a measured OOM), and the
     probe would extend D's lifetime past the scan, raising the peak this
-    variant exists to lower."""
+    variant exists to lower.
+
+    factor_dtype: Sinv storage. bf16 default — at lowmem scale HBM is the
+    binding constraint (f32 Sinv adds ~1.7 GB on the ~13.7 GB rebuild
+    peak); pass f32 where the chip has headroom for ~8x fewer GMRES
+    iterations (see factorize_banded)."""
     nb, c, _ = D.shape
     eye2 = 2.0 * jnp.eye(c, dtype=jnp.float32)
 
@@ -247,7 +261,7 @@ def factorize_banded_lowmem(Cm, D, Bm):
         Si = jnp.linalg.inv(S)
         Si = Si @ (eye2 - S @ Si)
         Gk = jnp.matmul(Si, Bk, preferred_element_type=jnp.float32)
-        return Gk, Si.astype(jnp.bfloat16)
+        return Gk, Si.astype(factor_dtype)
 
     G0 = jnp.zeros((c, c), jnp.float32)
     _, Sinv = jax.lax.scan(step, G0, (Cm, D, Bm))

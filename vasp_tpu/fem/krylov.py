@@ -113,7 +113,7 @@ def gmres(matvec, b, M=None, x0=None, restart=30, cycles=4, tol=1e-5,
             H = H.at[:, j].set(h[: m + 1])
             return (j + 1, V, H, cs, sn, g)
 
-        _, V, H, cs, sn, g = jax.lax.while_loop(
+        j, V, H, cs, sn, g = jax.lax.while_loop(
             arn_cond, body, (0, V, H, cs, sn, g))
         # back-substitution below is exact for an early exit at j < m:
         # untouched H columns are zero, so their |H[i,i]| <= 1e-300 guard
@@ -131,18 +131,20 @@ def gmres(matvec, b, M=None, x0=None, restart=30, cycles=4, tol=1e-5,
 
         y = jax.lax.fori_loop(0, m, backsub, jnp.zeros(m, dtype))
         dx = M(V[:m].T @ y)
-        return x + dx
+        return x + dx, j
 
     def cond(carry):
-        x, k, rnorm = carry
+        x, k, rnorm, it = carry
         return (k < cycles) & (rnorm > target)
 
     def body(carry):
-        x, k, _ = carry
-        x = arnoldi_cycle(x)
+        x, k, _, it = carry
+        x, j = arnoldi_cycle(x)
         rnorm = _norm(b - matvec(x))
-        return (x, k + 1, rnorm)
+        return (x, k + 1, rnorm, it + j)
 
     r0 = _norm(b - matvec(x))
-    x, k, rnorm = jax.lax.while_loop(cond, body, (x, 0, r0))
-    return x, (rnorm, k)
+    x, k, rnorm, inner = jax.lax.while_loop(cond, body, (x, 0, r0, 0))
+    # info: (true final residual norm, cycles used, TOTAL inner iterations
+    # across cycles — the matvec/preconditioner-application count)
+    return x, (rnorm, k, inner)

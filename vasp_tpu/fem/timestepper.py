@@ -18,6 +18,7 @@ preconditioner through rounding; equilibrated it is benign, cond ~ 4e6):
    on the tube benchmark vs stagnation for all single-level alternatives).
 """
 import os
+from functools import partial
 from dataclasses import dataclass
 from typing import Optional
 
@@ -107,9 +108,16 @@ class StepOptions:
     residual_dtype: Optional[str] = None
     ruiz_sweeps: int = 4
     # preconditioner: "banded" (block-tridiagonal direct, fem/banded.py —
-    # the production choice; fits HBM at every size and GMRES converges in
-    # ~20 iters) or "ras" (dense restricted additive Schwarz, small sizes)
+    # the production choice; the block-tridiagonal pattern covers the full
+    # RCM band, so with f32 factors the apply is an essentially exact
+    # solve: GMRES converges in ~1 inner iteration) or "ras" (dense
+    # restricted additive Schwarz, small sizes)
     precond: str = "banded"
+    # banded factor storage: None = auto (f32 at non-lowmem sizes — 1 vs 8
+    # GMRES iterations at tol 1e-3, measured; bf16 at lowmem scale where
+    # f32 Sinv adds ~1.7 GB to the ~13.7 GB rebuild peak); "f32"/"bf16"
+    # force either
+    banded_factor_dtype: Optional[str] = None
     # RAS
     n_subdomains: Optional[int] = None  # default: ~1500 dofs per subdomain
     overlap: int = 2
@@ -376,8 +384,12 @@ class IterativeStepper:
                 # c=4488), and the structured meshes that reach this size
                 # have benign Schur conditioning (bf16 factors measured
                 # converging to 1e-10 at 185k dofs).
+                fdt = jnp.float32 if self.opt.banded_factor_dtype == "f32" \
+                    else jnp.bfloat16
                 factorize_phase = jax.jit(
-                    banded_mod.factorize_banded_lowmem, donate_argnums=(1,))
+                    partial(banded_mod.factorize_banded_lowmem,
+                            factor_dtype=fdt),
+                    donate_argnums=(1,))
                 cast16 = jax.jit(lambda a: a.astype(jnp.bfloat16),
                                  donate_argnums=(0,))
 
@@ -401,8 +413,11 @@ class IterativeStepper:
                     Bm = jax.block_until_ready(cast16(Bm))
                     return dr, dc, Sinv, Cm, Bm
             else:
-                factorize_phase = jax.jit(banded_mod.factorize_banded,
-                                          donate_argnums=(0, 1, 2))
+                fdt = jnp.bfloat16 if self.opt.banded_factor_dtype == "bf16" \
+                    else jnp.float32
+                factorize_phase = jax.jit(
+                    partial(banded_mod.factorize_banded, factor_dtype=fdt),
+                    donate_argnums=(0, 1, 2))
                 factorize_f64 = jax.jit(banded_mod.factorize_banded_f64,
                                         donate_argnums=(0, 1, 2))
 

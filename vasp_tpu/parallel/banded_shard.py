@@ -344,17 +344,19 @@ def _merge_halo_blockrow(D, Cm, Bm, axis, n):
 
 
 def _sharded_factorize(Cl, Dl, Bl, axis, plan,
-                       factor_dtype=jnp.bfloat16):
+                       factor_dtype=jnp.float32):
     """Phase-sequential block-Thomas across devices: device p scans its
     nb_loc blocks with the carry from p-1 (fem/banded.py factorize_banded
     math; factors stay sharded — memory / n per chip).
 
-    factor_dtype: bf16 default (structured meshes, Schur blockcond ~1e5).
-    Pass jnp.float32 for unstructured meshes: bf16 rounding of the factors
-    fails past blockcond ~1e7 (measured 2.3e9 on the reference's vmtk
-    fixture — see fem/banded.py factorize_banded's err diagnostic; the
-    single-chip path escalates automatically, the sharded path takes the
-    dtype explicitly)."""
+    factor_dtype: f32 default — factors are sharded (memory / n per
+    chip), so the HBM pressure that forces bf16 on the single-chip lowmem
+    path does not apply, and f32 factors make the apply an essentially
+    exact band solve (1 vs 8 GMRES iterations at tol 1e-3, measured).
+    bf16 (StepOptions.banded_factor_dtype="bf16") halves the apply
+    bandwidth where a mesh is known benign (Schur blockcond ~1e5);
+    bf16 rounding fails past blockcond ~1e7 (measured 2.3e9 on the
+    reference's vmtk fixture)."""
     c, n, nb_loc = plan.c, plan.n, plan.nb_loc
     eye2 = 2.0 * jnp.eye(c, dtype=jnp.float32)
 
@@ -537,7 +539,10 @@ class ShardedBandedStepper:
                 blocks_loc, jacs, dr_ext, dc_ext, mask_loc, ops, plan,
                 diag_loc)
             D, Cm, Bm = _merge_halo_blockrow(D, Cm, Bm, axis, n)
-            Sinv, H, G = _sharded_factorize(Cm, D, Bm, axis, plan)
+            fdt = (jnp.bfloat16 if opt.banded_factor_dtype == "bf16"
+                   else jnp.float32)
+            Sinv, H, G = _sharded_factorize(Cm, D, Bm, axis, plan,
+                                            factor_dtype=fdt)
             return (dr.astype(jnp.float64), dc.astype(jnp.float64),
                     Sinv, H, G)
 
