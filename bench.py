@@ -93,9 +93,12 @@ def measure(size_name):
         jac_chunk=8192, overlap=2, jac_dtype="f32", krylov_dtype="f32",
         # experiment knobs (A/B without editing the production defaults):
         # BENCH_FORCING=ew enables Eisenstat-Walker adaptive forcing;
-        # BENCH_DELTA=0 disables the Taylor-delta endgame
+        # BENCH_DELTA=0 disables the Taylor-delta endgame;
+        # BENCH_FDTYPE=f32|bf16 forces the banded factor storage (default
+        # policy: f32 non-lowmem, bf16 at lowmem scale)
         forcing=os.environ.get("BENCH_FORCING", "fixed"),
         delta_endgame=os.environ.get("BENCH_DELTA", "1") != "0",
+        banded_factor_dtype=os.environ.get("BENCH_FDTYPE") or None,
         # hybrid: f32 element-work residuals in the approach phase,
         # exact f64 below 30x atol (fem/timestepper.py)
         residual_dtype="f32",
