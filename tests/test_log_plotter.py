@@ -136,6 +136,11 @@ def test_selectors_trim_average_and_cli(tmp_path):
           "--compute-average", "--compare-cycles",
           "--output-directory", str(out)])
     assert (out / "average" / "flow_rate.png").exists()
+    # cycle-averaged TKE (reference image set test_average/)
+    assert (out / "average" / "probe_points_tke.png").exists()
     assert (out / "compare_cycles" / "flow_rate_comparison.png").exists()
     assert (out / "compare_cycles" / "probe_points_comparison_0.png").exists()
+    # per-cycle TKE overlays (reference image set test_compare_cycles/)
+    assert (out / "compare_cycles"
+            / "probe_points_tke_comparison_0.png").exists()
     assert (out / "probe_points_displacement.pickle").exists()

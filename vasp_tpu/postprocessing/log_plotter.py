@@ -156,6 +156,27 @@ def parse_dictionary_from_log(log_file):
     return {}
 
 
+def compute_tke_series(probe_velocities, times, period):
+    """Full-length TKE series of one probe (reference: log_plotter.py:960-987):
+    phase-average the velocity over whole cycles, subtract to get u'(t),
+    TKE(t) = 0.5 |u'(t)|^2 — one value per time step."""
+    times = np.asarray(times)
+    v = np.asarray(probe_velocities)
+    if len(times) < 2 or not period:
+        return None
+    dt = np.mean(np.diff(times))
+    spc = int(round(period / dt))
+    if spc <= 0:
+        return None
+    n_cycles = min(len(times), len(v)) // spc
+    if n_cycles < 1:
+        return None
+    vc = v[: n_cycles * spc].reshape(n_cycles, spc, -1)
+    phase_mean = vc.mean(axis=0)
+    fluct = (vc - phase_mean[None]).reshape(n_cycles * spc, -1)
+    return 0.5 * np.sum(fluct ** 2, axis=1)
+
+
 def compute_tke(probe_velocities, times, period):
     """Turbulent kinetic energy of probe-point velocity via phase-averaged
     fluctuations (reference: log_plotter.py:928-990): split the series into
@@ -280,18 +301,19 @@ def plot_all(data, out_dir, period=None, save=True, select=None,
         plt.savefig(out / "probe_points.png")
         plt.close(fig)
         figures.append(out / "probe_points.png")
-        # TKE
+        # TKE: the full-length series, one value per time step
+        # (reference plot_probe_points_tke, log_plotter.py:992-1060)
         if period and want("probe_points_tke"):
             fig = plt.figure(figsize=_FIGSIZE)
             plotted = False
             for p, d in sel_probes(data["probe_points"]):
-                phase_t, tke = compute_tke(d["velocity"], t[: len(d["velocity"])],
-                                           period)
+                tke = compute_tke_series(
+                    d["velocity"], t[: len(d["velocity"])], period)
                 if tke is not None:
-                    plt.plot(phase_t, tke, label=f"probe {p}")
+                    plt.plot(t[: len(tke)], tke, label=f"probe {p}")
                     plotted = True
             if plotted:
-                plt.xlabel("Phase time [s]")
+                plt.xlabel("Time [s]")
                 plt.ylabel("TKE [m2/s2]")
                 plt.legend()
                 plt.grid(True)
@@ -434,6 +456,25 @@ def plot_average(data, out_dir, period):
             plt.savefig(out / "probe_points.png")
             figures.append(out / "probe_points.png")
         plt.close(fig)
+        # cycle-averaged TKE (reference --compute-average averages the TKE
+        # series over cycles, log_plotter.py:1412-1417; image set
+        # tests/test_data/reference_images/test_average/probe_points_tke.png)
+        fig = plt.figure(figsize=_FIGSIZE)
+        plotted = False
+        for p, d in sorted(data["probe_points"].items()):
+            pt, m = compute_tke(d["velocity"], t[: len(d["velocity"])],
+                                period)
+            if m is not None:
+                plt.plot(pt, m, label=f"probe {p}")
+                plotted = True
+        if plotted:
+            plt.xlabel("Phase time [s]")
+            plt.ylabel("TKE [m2/s2]")
+            plt.legend()
+            plt.grid(True)
+            plt.savefig(out / "probe_points_tke.png")
+            figures.append(out / "probe_points_tke.png")
+        plt.close(fig)
     return figures
 
 
@@ -470,6 +511,7 @@ def plot_compare_cycles(data, out_dir, period, probe_ids=None):
     fp = data["flow_properties"]
     for key, series, ylabel in (
         ("cpu_time", data["cpu_time"], "CPU time [s]"),
+        ("ramp_factor", data["ramp_factor"], "ramp factor"),
         ("pressure", data["pressure"], "Pressure [Pa]"),
         ("flow_rate", fp["flow_rate"], "Flow rate"),
         ("velocity", fp["velocity_mean"], "Velocity"),
@@ -484,6 +526,15 @@ def plot_compare_cycles(data, out_dir, period, probe_ids=None):
         if p in probes and len(probes[p]["magnitude"]) >= spc:
             overlay(out / f"probe_points_comparison_{p}.png",
                     probes[p]["magnitude"], f"|u| probe {p}")
+        # per-cycle TKE overlays (reference plot_probe_points_tke_comparison,
+        # log_plotter.py:1063-1097; image names
+        # probe_points_tke_comparison_{p}.png)
+        if p in probes:
+            tke = compute_tke_series(probes[p]["velocity"],
+                                     t[: len(probes[p]["velocity"])], period)
+            if tke is not None and len(tke) >= spc:
+                overlay(out / f"probe_points_tke_comparison_{p}.png",
+                        tke, f"TKE probe {p}")
     return figures
 
 
@@ -498,7 +549,11 @@ _SELECTORS = (
 
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="vasp-log-plotter")
-    parser.add_argument("--log-file", required=True)
+    # the reference takes the log positionally (log_plotter.py:1116);
+    # --log-file is kept as an equivalent spelling
+    parser.add_argument("log_file_pos", nargs="?", default=None,
+                        metavar="log_file", help="Path to the log file")
+    parser.add_argument("--log-file", dest="log_file_opt", default=None)
     parser.add_argument("--save", "--save-figures", dest="save_figures",
                         action="store_true", default=True)
     parser.add_argument("--output-directory", default=None)
@@ -519,6 +574,9 @@ def main(argv=None):
     parser.add_argument("--log-level", type=int, default=20,
                         help="logging level (reference --log-level)")
     args = parser.parse_args(argv)
+    args.log_file = args.log_file_opt or args.log_file_pos
+    if not args.log_file:
+        parser.error("a log file is required (positional or --log-file)")
     import logging
     logging.basicConfig(level=args.log_level)
     global _FIGSIZE
