@@ -38,6 +38,13 @@ SIZES = {
     "small": (8, 24),    # ~2.9k cells
 }
 
+# the reference's own shipped regression mesh (6,590 cells, vmtk-generated
+# unstructured geometry — exercises the precision-escalation ladder the
+# structured tubes never trip); measured as a SIDE-CHANNEL line, never
+# replacing the tutorial-scale metric
+FIXTURE_MESH = ("/root/reference/tests/test_data/offset_stenosis/"
+                "offset_stenosis.h5")
+
 
 def build(n_theta, n_z, quad_degree):
     import jax.numpy as jnp
@@ -46,11 +53,16 @@ def build(n_theta, n_z, quad_degree):
     from vasp_tpu.mesh.generate import fsi_tube_mesh
     from vasp_tpu.run.system import FSISystem
 
-    mesh = fsi_tube_mesh(
-        r_inner=0.002, r_outer=0.0026, length=0.04,
-        n_theta=n_theta, n_r_fluid=3, n_r_solid=1, n_z=n_z,
-        radius_profile=lambda z: 1.0 - 0.35 * np.exp(-((z - 0.012) / 0.004) ** 2),
-    )
+    if (n_theta, n_z) == ("fixture", "fixture"):
+        from vasp_tpu.mesh.io import read_vasp_mesh
+
+        mesh = read_vasp_mesh(FIXTURE_MESH)
+    else:
+        mesh = fsi_tube_mesh(
+            r_inner=0.002, r_outer=0.0026, length=0.04,
+            n_theta=n_theta, n_r_fluid=3, n_r_solid=1, n_z=n_z,
+            radius_profile=lambda z: 1.0 - 0.35 * np.exp(-((z - 0.012) / 0.004) ** 2),
+        )
     E, nu = 1e6, 0.45
     mu_s = E / (2 * (1 + nu))
     lam_s = nu * 2 * mu_s / (1 - 2 * nu)
@@ -82,7 +94,7 @@ def measure(size_name):
 
     from vasp_tpu.fem.timestepper import IterativeStepper, StepOptions
 
-    n_theta, n_z = SIZES[size_name]
+    n_theta, n_z = SIZES.get(size_name, ("fixture", "fixture"))
     mesh, system, bc_set, load = build(n_theta, n_z, quad_degree=3)
     ncells = mesh.num_cells
     ndof = system.space.ndof
@@ -212,6 +224,27 @@ def main():
         except subprocess.TimeoutExpired:
             print(f"# {size} attempt timed out after {remaining:.0f}s "
                   f"(XLA compile); keeping best-so-far", file=sys.stderr)
+
+    # side-channel: the reference's shipped vmtk fixture mesh (unstructured
+    # geometry, precision-ladder path) — informational, never the metric
+    remaining = budget - (time.time() - t_start)
+    if result is not None and remaining > 420 and os.path.exists(FIXTURE_MESH):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--measure",
+                 "fixture"],
+                capture_output=True, text=True, timeout=remaining,
+            )
+            for line in out.stdout.splitlines()[::-1]:
+                line = line.strip()
+                if line.startswith("{"):
+                    got = json.loads(line)
+                    if got.get("finite"):
+                        print(f"# fixture(vmtk, {got['cells']} cells): "
+                              f"{json.dumps(_emit(got))}", file=sys.stderr)
+                    break
+        except subprocess.TimeoutExpired:
+            print("# fixture attempt timed out", file=sys.stderr)
 
     if result is None:
         print(json.dumps({
