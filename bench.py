@@ -190,6 +190,34 @@ def main():
         measure(sys.argv[2])
         return
 
+    # pre-flight: when the axon TPU tunnel is down, backend init HANGS
+    # (observed, not errors) — every size subprocess would then burn its
+    # full timeout. Probe once with a hard deadline and fail fast.
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print(d[0].platform)"],
+            capture_output=True, text=True, timeout=240,
+        )
+        platform = probe.stdout.strip().splitlines()[-1] if probe.stdout \
+            else "?"
+        print(f"# device probe: rc={probe.returncode} platform={platform}",
+              file=sys.stderr)
+        device_ok = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        print("# device probe HUNG (tunnel down?)", file=sys.stderr)
+        device_ok = False
+    if not device_ok:
+        print(json.dumps({
+            "metric": "sec_per_timestep_fsi20k",
+            "value": -1.0,
+            "unit": "s/timestep",
+            "vs_baseline": 0.0,
+        }))
+        print("# no usable accelerator backend; aborting fast",
+              file=sys.stderr)
+        return
+
     # SMALLEST-FIRST so some number always lands inside the driver budget;
     # each later size only replaces the result if it completes. The compile
     # cache (warmed during the build round) makes later runs fast.
