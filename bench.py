@@ -192,21 +192,39 @@ def main():
 
     # pre-flight: when the axon TPU tunnel is down, backend init HANGS
     # (observed, not errors) — every size subprocess would then burn its
-    # full timeout. Probe once with a hard deadline and fail fast.
-    try:
-        probe = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; d = jax.devices(); print(d[0].platform)"],
-            capture_output=True, text=True, timeout=240,
-        )
-        platform = probe.stdout.strip().splitlines()[-1] if probe.stdout \
-            else "?"
-        print(f"# device probe: rc={probe.returncode} platform={platform}",
-              file=sys.stderr)
-        device_ok = probe.returncode == 0
-    except subprocess.TimeoutExpired:
-        print("# device probe HUNG (tunnel down?)", file=sys.stderr)
-        device_ok = False
+    # full timeout. Probe with a hard deadline; if the tunnel is down,
+    # keep polling inside a bounded window (outages are usually transient
+    # — measured a 4 h outage that recovered) before giving up, leaving
+    # enough budget for at least the small+half measurements.
+    budget = float(os.environ.get("BENCH_TIMEOUT", "5000"))
+    t_start = time.time()
+    probe_window = max(0.0, min(budget * 0.5, budget - 1500.0))
+
+    def probe_device():
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); print(d[0].platform)"],
+                capture_output=True, text=True, timeout=240,
+            )
+            platform = probe.stdout.strip().splitlines()[-1] \
+                if probe.stdout else "?"
+            print(f"# device probe: rc={probe.returncode} "
+                  f"platform={platform}", file=sys.stderr)
+            return probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            print("# device probe HUNG (tunnel down?)", file=sys.stderr)
+            return False
+
+    device_ok = probe_device()
+    while not device_ok and time.time() - t_start < probe_window:
+        wait = min(180.0, probe_window - (time.time() - t_start))
+        if wait <= 0:
+            break
+        print(f"# backend down; retrying probe in {wait:.0f}s "
+              f"(window {probe_window:.0f}s)", file=sys.stderr)
+        time.sleep(wait)
+        device_ok = probe_device()
     if not device_ok:
         print(json.dumps({
             "metric": "sec_per_timestep_fsi20k",
@@ -221,8 +239,6 @@ def main():
     # SMALLEST-FIRST so some number always lands inside the driver budget;
     # each later size only replaces the result if it completes. The compile
     # cache (warmed during the build round) makes later runs fast.
-    budget = float(os.environ.get("BENCH_TIMEOUT", "5000"))
-    t_start = time.time()
     result = None
     for size in ("small", "half", "full"):
         remaining = budget - (time.time() - t_start)
