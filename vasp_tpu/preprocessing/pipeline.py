@@ -239,11 +239,14 @@ def read_command_line(argv=None):
                    help="constant sizing: [edge length] (reference -mp "
                         "semantics); other methods ignore it")
     p.add_argument("--has-multiple-inlets", action="store_true",
-                   help="NOT SUPPORTED by the structured tube backend "
-                        "(single inlet/outlet pair); fails loudly")
+                   help="bifurcated surface: mesh via the branched "
+                        "backbone (preprocessing/bifurcation.py; reference "
+                        "multi-inlet handling preprocessing.py:336-384)")
     p.add_argument("--extract-branch", action="store_true",
-                   help="NOT SUPPORTED by the structured tube backend; "
-                        "fails loudly")
+                   help="split the surface into branches and offset the "
+                        "second daughter's solid ids by "
+                        "--branch-ids-offset (reference "
+                        "vmtkmeshgeneratorfsi.py:255-316)")
     p.add_argument("--branch-group-ids", type=int, nargs="+", default=None)
     p.add_argument("--branch-ids-offset", type=int, default=1000)
     p.add_argument("--verbosity", type=int, default=1)
@@ -317,6 +320,26 @@ def run_surface_pre_processing(input_model, mesh_path, n_z=40, n_theta=16,
         "points": (np.asarray(cl_pts) * float(scale_factor)).tolist(),
         "mis_radius": (np.asarray(cl_r) * float(scale_factor)).tolist(),
     }))
+    _finalize_mesh_artifacts(
+        mesh, mesh_path, flatten_boundaries=flatten_boundaries,
+        compress_mesh=compress_mesh, mesh_format=mesh_format,
+        mean_inflow_rate=mean_inflow_rate,
+        flow_rate_factor=flow_rate_factor, n_probes=n_probes,
+        visualize=visualize, id_remap=id_remap, verbose=verbose)
+    if remove_all:
+        cl_path.unlink(missing_ok=True)
+    return mesh
+
+
+def _finalize_mesh_artifacts(mesh, mesh_path, flatten_boundaries=True,
+                             compress_mesh=False, mesh_format="hdf5",
+                             mean_inflow_rate=None, flow_rate_factor=1.0,
+                             n_probes=10, visualize=False, id_remap=None,
+                             verbose=True):
+    """Shared mesh finalization: flatten ends, write the .h5 (+xdmf),
+    info json, probe points, preview — identical artifact set for the
+    single-branch and branched meshing paths."""
+    mesh_path = Path(mesh_path)
     if flatten_boundaries:
         mesh = check_flatten_boundary(mesh, markers=(2, 3))
     if verbose:
@@ -354,9 +377,58 @@ def run_surface_pre_processing(input_model, mesh_path, n_z=40, n_theta=16,
     if visualize:
         _write_preview(mesh, mesh_path.with_name(
             mesh_path.stem + "_preview.png"))
-    if remove_all:
-        cl_path.unlink(missing_ok=True)
     return mesh
+
+
+def run_branched_pre_processing(input_model, mesh_path, m=8,
+                                n_r_solid=1, solid_thickness=None,
+                                thickness_frac=0.25, scale_factor=1.0,
+                                edge_factor=1.0, branch_ids_offset=0,
+                                flatten_boundaries=True,
+                                n_probes=10, mean_inflow_rate=None,
+                                flow_rate_factor=1.0, compress_mesh=False,
+                                mesh_format="hdf5", visualize=False,
+                                id_remap=None, verbose=True):
+    """Bifurcated STL -> two-domain FSI mesh + standard artifacts (the
+    reference's --extract-branch / multi-inlet workflow,
+    vmtkmeshgeneratorfsi.py:255-316; branched backbone in
+    preprocessing/bifurcation.py)."""
+    from vasp_tpu.preprocessing.bifurcation import (
+        branched_specs_from_stl, bifurcation_fsi_mesh)
+
+    mesh_path = Path(mesh_path)
+    mesh_path.parent.mkdir(parents=True, exist_ok=True)
+    parent, d1, d2 = branched_specs_from_stl(input_model)
+    rbar = float(np.mean(parent.radii))
+    dz = edge_factor * 2.0 * rbar / m
+
+    def n_of(spec, lo):
+        L = float(np.linalg.norm(np.diff(spec.centers, axis=0),
+                                 axis=1).sum())
+        return max(lo, int(round(L / dz)))
+
+    mesh = bifurcation_fsi_mesh(
+        parent, d1, d2, m=m, n_parent=n_of(parent, 3),
+        n_daughter=n_of(d1, 4), thickness_frac=thickness_frac,
+        solid_thickness=solid_thickness, n_r_solid=n_r_solid,
+        scale_factor=scale_factor, branch_ids_offset=branch_ids_offset)
+    # branched centerline artifact (parent + both daughters)
+    cl_path = mesh_path.with_name(mesh_path.stem + "_centerline.json")
+    cl_path.write_text(json.dumps({
+        "branches": [
+            {"points": (np.asarray(s.centers) * scale_factor).tolist(),
+             "mis_radius": (np.asarray(s.radii) * scale_factor).tolist()}
+            for s in (parent, d1, d2)
+        ]}))
+    if verbose:
+        print(f"Branched mesh: parent {len(parent.centers)} stations, "
+              f"junction at {parent.centers[-1].tolist()}")
+    return _finalize_mesh_artifacts(
+        mesh, mesh_path, flatten_boundaries=flatten_boundaries,
+        compress_mesh=compress_mesh, mesh_format=mesh_format,
+        mean_inflow_rate=mean_inflow_rate,
+        flow_rate_factor=flow_rate_factor, n_probes=n_probes,
+        visualize=visualize, id_remap=id_remap, verbose=verbose)
 
 
 def _surface_extent(stl_path):
@@ -419,14 +491,14 @@ def _write_preview(mesh, path):
 def main_meshing(argv=None):
     args = read_command_line(argv)
     verbose = args.verbosity > 0
-    if args.has_multiple_inlets or args.extract_branch \
-            or args.branch_group_ids:
-        raise NotImplementedError(
-            "multi-inlet / branch extraction requires a multi-branch "
-            "surface backbone; the structured tube parameterization "
-            "(preprocessing/surface_mesh.py) covers single-branch vessels "
-            "only (reference branch clipping: "
-            "vmtkmeshgeneratorfsi.py:255-316)")
+    branched = (args.has_multiple_inlets or args.extract_branch
+                or args.branch_group_ids)
+    if branched and (not args.input_model
+                     or args.input_model == "parametric"):
+        raise ValueError(
+            "branch extraction / multi-inlet meshing needs a surface "
+            "input (-i model.stl); the parametric generator is "
+            "single-branch only")
     if args.meshing_parameters and args.meshing_method == "constant" \
             and args.edge_length is None:
         # reference -mp semantics: constant sizing's parameter IS the
@@ -452,6 +524,52 @@ def main_meshing(argv=None):
     }
     if all(k == v for d in id_remap.values() for k, v in d.items()):
         id_remap = None
+
+    if branched:
+        # bifurcated-surface meshing (the reference's --extract-branch /
+        # multi-inlet workflow, vmtkmeshgeneratorfsi.py:255-316; branched
+        # backbone in preprocessing/bifurcation.py)
+        thickness = (None if args.solid_thickness in ("constant", "variable")
+                     else float(args.solid_thickness))
+        m = max(4, args.n_theta // 2)
+        edge_factor = 1.0
+        if args.edge_length:
+            r_mean, _, _ = _surface_extent(args.input_model)
+            edge_factor = float(args.edge_length) * m / (2.0 * r_mean)
+        if args.coarsening_factor != 1.0:
+            m = max(4, int(round(m / args.coarsening_factor)))
+            edge_factor *= args.coarsening_factor
+        attempt = 0
+        while True:
+            try:
+                run_branched_pre_processing(
+                    args.input_model, args.mesh_path, m=m,
+                    n_r_solid=args.n_r_solid,
+                    solid_thickness=thickness,
+                    thickness_frac=thickness_frac,
+                    scale_factor=args.scale_factor,
+                    edge_factor=edge_factor,
+                    branch_ids_offset=(args.branch_ids_offset
+                                       if args.extract_branch
+                                       or args.branch_group_ids else 0),
+                    flatten_boundaries=not args.no_flatten,
+                    n_probes=args.n_probes,
+                    mean_inflow_rate=args.mean_inflow_rate,
+                    flow_rate_factor=args.flow_rate_factor,
+                    compress_mesh=args.compress_mesh,
+                    mesh_format=args.mesh_format,
+                    visualize=args.visualize,
+                    id_remap=id_remap, verbose=verbose,
+                )
+                return
+            except Exception as exc:
+                attempt += 1
+                if attempt > max(0, args.mesh_generation_retries):
+                    raise
+                m = max(4, int(round(0.8 * m)))
+                edge_factor *= 1.25
+                print(f"Branched mesh generation failed ({exc}); retry "
+                      f"{attempt} at coarser resolution m={m}", flush=True)
 
     if args.input_model and args.input_model != "parametric":
         # surface-based two-domain meshing (STL; numpy-only — the

@@ -72,6 +72,30 @@ def read_stl(path):
     return V, F[keep]
 
 
+def write_stl(path, V, F):
+    """Write a binary STL (the reference writes intermediate .stl/.vtp
+    surfaces throughout its pipeline; used here for surface artifacts and
+    test fixtures)."""
+    import struct
+
+    V = np.asarray(V, np.float32)
+    F = np.asarray(F, np.int64)
+    tri = V[F]  # (n, 3, 3)
+    e0 = tri[:, 1] - tri[:, 0]
+    e1 = tri[:, 2] - tri[:, 0]
+    n = np.cross(e0, e1)
+    n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-30)
+    with open(path, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(struct.pack("<I", len(F)))
+        rec = np.zeros((len(F), 50), np.uint8)
+        data = np.concatenate([n.astype(np.float32),
+                               tri.reshape(len(F), 9).astype(np.float32)],
+                              axis=1)
+        rec[:, :48] = data.view(np.uint8).reshape(len(F), 48)
+        f.write(rec.tobytes())
+
+
 def smooth_surface(V, F, method="laplace", n_iter=25, relaxation=0.5,
                    passband=0.1):
     """Surface smoothing of the welded STL (reference:
