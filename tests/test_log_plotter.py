@@ -132,8 +132,10 @@ def test_selectors_trim_average_and_cli(tmp_path):
 
     # averaged + compare-cycles figure names via the CLI
     out = tmp_path / "Images"
+    # --save/--save-probes are default-OFF like the reference CLI
+    # (reference log_plotter.py:1145-1146), so pass them explicitly
     main(["--log-file", str(log_file), "--period", "0.004",
-          "--compute-average", "--compare-cycles",
+          "--compute-average", "--compare-cycles", "--save", "--save-probes",
           "--output-directory", str(out)])
     assert (out / "average" / "flow_rate.png").exists()
     # cycle-averaged TKE (reference image set test_average/)

@@ -203,6 +203,17 @@ def compute_tke(probe_velocities, times, period):
 # module-level figure size, set from --figure-size (reference
 # log_plotter.py:264 threads figure_size through every plot fn)
 _FIGSIZE = (10, 6)
+# CLI --save semantics (reference log_plotter.py:1145: figures are only
+# written when --save is given; otherwise shown): main() flips this off
+# for unflagged runs. Library callers (plot_all etc.) save by default.
+_SAVE = True
+
+
+def _emit_fig(path):
+    if _SAVE:
+        plt.savefig(path)
+    else:
+        plt.show()
 
 
 def _save_plot(x, ys, labels, title, ylabel, path, xlabel="Time [s]",
@@ -220,7 +231,7 @@ def _save_plot(x, ys, labels, title, ylabel, path, xlabel="Time [s]",
     if any(labels):
         plt.legend()
     plt.grid(True)
-    plt.savefig(path)
+    _emit_fig(path)
     plt.close(fig)
 
 
@@ -298,7 +309,7 @@ def plot_all(data, out_dir, period=None, save=True, select=None,
         plt.ylabel("|u| [m/s]")
         plt.legend()
         plt.grid(True)
-        plt.savefig(out / "probe_points.png")
+        _emit_fig(out / "probe_points.png")
         plt.close(fig)
         figures.append(out / "probe_points.png")
         # TKE: the full-length series, one value per time step
@@ -317,7 +328,7 @@ def plot_all(data, out_dir, period=None, save=True, select=None,
                 plt.ylabel("TKE [m2/s2]")
                 plt.legend()
                 plt.grid(True)
-                plt.savefig(out / "probe_points_tke.png")
+                _emit_fig(out / "probe_points_tke.png")
                 figures.append(out / "probe_points_tke.png")
             plt.close(fig)
     if data["probe_points_displacement"] and want(
@@ -331,7 +342,7 @@ def plot_all(data, out_dir, period=None, save=True, select=None,
         plt.ylabel("|d| [m]")
         plt.legend()
         plt.grid(True)
-        plt.savefig(out / "probe_points_displacement.png")
+        _emit_fig(out / "probe_points_displacement.png")
         plt.close(fig)
         figures.append(out / "probe_points_displacement.png")
 
@@ -453,7 +464,7 @@ def plot_average(data, out_dir, period):
             plt.ylabel("|u| [m/s]")
             plt.legend()
             plt.grid(True)
-            plt.savefig(out / "probe_points.png")
+            _emit_fig(out / "probe_points.png")
             figures.append(out / "probe_points.png")
         plt.close(fig)
         # cycle-averaged TKE (reference --compute-average averages the TKE
@@ -472,7 +483,7 @@ def plot_average(data, out_dir, period):
             plt.ylabel("TKE [m2/s2]")
             plt.legend()
             plt.grid(True)
-            plt.savefig(out / "probe_points_tke.png")
+            _emit_fig(out / "probe_points_tke.png")
             figures.append(out / "probe_points_tke.png")
         plt.close(fig)
     return figures
@@ -504,7 +515,7 @@ def plot_compare_cycles(data, out_dir, period, probe_ids=None):
         plt.ylabel(ylabel)
         plt.legend()
         plt.grid(True)
-        plt.savefig(path)
+        _emit_fig(path)
         plt.close(fig)
         figures.append(path)
 
@@ -554,8 +565,10 @@ def main(argv=None):
     parser.add_argument("log_file_pos", nargs="?", default=None,
                         metavar="log_file", help="Path to the log file")
     parser.add_argument("--log-file", dest="log_file_opt", default=None)
+    # default-off like the reference (log_plotter.py:1145-1146): figures
+    # are shown, not written, unless --save is given
     parser.add_argument("--save", "--save-figures", dest="save_figures",
-                        action="store_true", default=True)
+                        action="store_true", default=False)
     parser.add_argument("--output-directory", default=None)
     parser.add_argument("--plot-all", action="store_true")
     for name in _SELECTORS:
@@ -564,7 +577,7 @@ def main(argv=None):
     parser.add_argument("--probe-points", type=int, nargs="+", default=None)
     parser.add_argument("--compare-cycles", action="store_true")
     parser.add_argument("--compute-average", action="store_true")
-    parser.add_argument("--save-probes", action="store_true", default=True)
+    parser.add_argument("--save-probes", action="store_true", default=False)
     parser.add_argument("--period", type=float, default=None,
                         help="cardiac cycle length for TKE / cycle plots")
     parser.add_argument("--start-cycle", type=int, default=1)
@@ -579,8 +592,9 @@ def main(argv=None):
         parser.error("a log file is required (positional or --log-file)")
     import logging
     logging.basicConfig(level=args.log_level)
-    global _FIGSIZE
+    global _FIGSIZE, _SAVE
     _FIGSIZE = tuple(float(x) for x in args.figure_size.split(","))
+    _SAVE = args.save_figures
     data = parse_log_file(args.log_file)
     if args.period and (args.start_cycle != 1 or args.end_cycle):
         data = trim_cycles(data, args.period, args.start_cycle,
