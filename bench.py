@@ -100,8 +100,12 @@ def measure(size_name):
     ndof = system.space.ndof
 
     opts = StepOptions(
-        atol=1e-6, rtol=1e-6, max_it=6,
-        gmres_tol=1e-3, gmres_restart=60, gmres_maxiter=120,
+        atol=1e-6, rtol=1e-6, max_it=12,
+        # BENCH_GTOL: direction accuracy vs Newton-iteration-count
+        # tradeoff A/B (a tighter direction can save a whole iteration:
+        # jacfwd + gmres + fine-residual eval)
+        gmres_tol=float(os.environ.get("BENCH_GTOL", "1e-3")),
+        gmres_restart=60, gmres_maxiter=120,
         jac_chunk=8192, overlap=2, jac_dtype="f32", krylov_dtype="f32",
         # experiment knobs (A/B without editing the production defaults):
         # BENCH_FORCING=ew enables Eisenstat-Walker adaptive forcing;
@@ -111,9 +115,13 @@ def measure(size_name):
         forcing=os.environ.get("BENCH_FORCING", "fixed"),
         delta_endgame=os.environ.get("BENCH_DELTA", "1") != "0",
         banded_factor_dtype=os.environ.get("BENCH_FDTYPE") or None,
-        # hybrid: f32 element-work residuals in the approach phase,
-        # exact f64 below 30x atol (fem/timestepper.py)
-        residual_dtype="f32",
+        # cross-step anchor chain A/B knob (off: "mixed" supersedes it)
+        chain_anchor=os.environ.get("BENCH_CHAIN", "0") == "1",
+        # hybrid fine-residual mode: "mixed" = f64 element work only on
+        # the solid block (f64-grade at ~0.3x the emulated-f64 cost —
+        # measured error l2 5e-10, diag_mixed_residual.py); "f32" = the
+        # old full-f64 endgame (BENCH_RESID=f32 for A/B)
+        residual_dtype=os.environ.get("BENCH_RESID", "mixed"),
         # NOTE endgame_factor=3.0 was measured SLOWER here (adds a Newton
         # iteration: coarse updates computed from residuals within ~10x of
         # the f32 noise floor converge visibly slower, so deferring the
@@ -124,7 +132,9 @@ def measure(size_name):
         # emulated-f64 residual, and the ramped tube's ring transient
         # keeps the iteration count at 3 anyway
     )
-    stepper = IterativeStepper(system, bc_set, opts, recompute_tstep=20)
+    stepper = IterativeStepper(
+        system, bc_set, opts,
+        recompute_tstep=int(os.environ.get("BENCH_RECOMPUTE", "20")))
     U = system.zero_state()
     bcv = jnp.asarray(bc_set.values_at(0.001))
 
@@ -190,6 +200,15 @@ def main():
         measure(sys.argv[2])
         return
 
+    # the driver redirects stdout to a file, which makes Python BLOCK-buffer
+    # it; a timeout-kill then loses every unflushed metric line (this is how
+    # rounds 1-2 ended with parsed=null). Line-buffer + explicit flushes.
+    try:
+        sys.stdout.reconfigure(line_buffering=True)
+        sys.stderr.reconfigure(line_buffering=True)
+    except AttributeError:
+        pass
+
     # pre-flight: when the axon TPU tunnel is down, backend init HANGS
     # (observed, not errors) — every size subprocess would then burn its
     # full timeout. Probe with a hard deadline; if the tunnel is down,
@@ -236,73 +255,67 @@ def main():
               file=sys.stderr)
         return
 
-    # SMALLEST-FIRST so some number always lands inside the driver budget;
-    # each later size only replaces the result if it completes. The compile
-    # cache (warmed during the build round) makes later runs fast.
-    result = None
-    for size in ("small", "half", "full"):
-        remaining = budget - (time.time() - t_start)
-        if remaining < 120:
-            print(f"# budget exhausted before {size}", file=sys.stderr)
-            break
+    def run_one(size, remaining):
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--measure",
                  size],
                 capture_output=True, text=True, timeout=remaining,
             )
-            got = None
-            for line in out.stdout.splitlines()[::-1]:
-                line = line.strip()
-                if line.startswith("{"):
-                    got = json.loads(line)
-                    break
-            if got and got.get("finite"):
-                result = got
-                # progress line so partial results are visible in the log
-                print(f"# {size}: {json.dumps(_emit(result))}",
-                      file=sys.stderr)
-            else:
-                print(f"# {size} attempt produced no result; stderr tail: "
-                      f"{out.stderr[-500:]}", file=sys.stderr)
         except subprocess.TimeoutExpired:
             print(f"# {size} attempt timed out after {remaining:.0f}s "
                   f"(XLA compile); keeping best-so-far", file=sys.stderr)
+            return None
+        for line in out.stdout.splitlines()[::-1]:
+            line = line.strip()
+            if line.startswith("{"):
+                got = json.loads(line)
+                if got.get("finite"):
+                    return got
+                break
+        print(f"# {size} attempt produced no result; stderr tail: "
+              f"{out.stderr[-500:]}", file=sys.stderr)
+        return None
 
-    # side-channel: the reference's shipped vmtk fixture mesh (unstructured
-    # geometry, precision-ladder path) — informational, never the metric
-    remaining = budget - (time.time() - t_start)
-    if result is not None and remaining > 420 and os.path.exists(FIXTURE_MESH):
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--measure",
-                 "fixture"],
-                capture_output=True, text=True, timeout=remaining,
-            )
-            for line in out.stdout.splitlines()[::-1]:
-                line = line.strip()
-                if line.startswith("{"):
-                    got = json.loads(line)
-                    if got.get("finite"):
-                        print(f"# fixture(vmtk, {got['cells']} cells): "
-                              f"{json.dumps(_emit(got))}", file=sys.stderr)
-                    break
-        except subprocess.TimeoutExpired:
-            print("# fixture attempt timed out", file=sys.stderr)
+    # SMALLEST-FIRST so some number always lands inside the driver budget,
+    # and the best-so-far FINAL metric line is flushed to STDOUT immediately
+    # after EACH size (last line wins): a driver kill mid-full still leaves
+    # the half/small metric parseable. The fixture side-channel runs BEFORE
+    # the expensive full size so its line lands even when full times out.
+    result = None
+    for size in ("small", "half", "fixture", "full"):
+        remaining = budget - (time.time() - t_start)
+        if remaining < 120:
+            print(f"# budget exhausted before {size}", file=sys.stderr)
+            break
+        if size == "fixture":
+            # side-channel: the reference's shipped vmtk fixture mesh
+            # (unstructured geometry, precision-ladder path) —
+            # informational, never the official metric
+            if result is None or remaining < 900 \
+                    or not os.path.exists(FIXTURE_MESH):
+                continue
+            got = run_one("fixture", min(remaining - 600, 2400))
+            if got:
+                print(f"# fixture(vmtk, {got['cells']} cells): "
+                      f"{json.dumps(_emit(got))}", file=sys.stderr)
+            continue
+        got = run_one(size, remaining)
+        if got:
+            result = got
+            # flush the official metric NOW — best-so-far, last line wins
+            print(json.dumps(_emit(result)), flush=True)
+            print(f"# {size}: {result}", file=sys.stderr)
 
     if result is None:
+        # scale the anchor when falling back: reference cost is ~linear in
+        # cells for the dominant assembly/solve work at these sizes
         print(json.dumps({
             "metric": "sec_per_timestep_fsi20k",
             "value": -1.0,
             "unit": "s/timestep",
             "vs_baseline": 0.0,
-        }))
-        return
-
-    # scale the anchor when falling back: reference cost is ~linear in cells
-    # for the dominant assembly/solve work at these sizes
-    print(json.dumps(_emit(result)))
-    print(f"# {result}", file=sys.stderr)
+        }), flush=True)
 
 
 if __name__ == "__main__":
