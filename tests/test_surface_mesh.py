@@ -34,6 +34,41 @@ def test_surface_fsi_mesh_structure(stl):
 
 
 @pytest.mark.skipif(not TUBE.exists(), reason="STL fixtures absent")
+def test_graded_boundary_layer_sublayers():
+    """Sublayer grading (reference SubLayerRatioFluid/Solid=0.75,
+    preprocessing_common.py:164-166): wall-adjacent fluid rings shrink by
+    the ratio, interface/outer-wall radii unchanged, mesh still valid."""
+    from vasp_tpu.preprocessing.surface_mesh import (graded_fractions,
+                                                     surface_fsi_mesh)
+
+    f = graded_fractions(3, 0.75)
+    w = np.diff(np.concatenate([[0.0], f]))
+    assert np.allclose(w[1:] / w[:-1], 0.75)
+    assert np.isclose(f[-1], 1.0)
+    assert np.allclose(graded_fractions(3, 1.0), [1 / 3, 2 / 3, 1.0])
+
+    kw = dict(n_z=16, n_theta=12, n_r_fluid=3, n_r_solid=2,
+              scale_factor=1e-3)
+    m_u = surface_fsi_mesh(TUBE, **kw)
+    m_g = surface_fsi_mesh(TUBE, sublayer_ratio_fluid=0.75,
+                           sublayer_ratio_solid=0.75, **kw)
+    # same topology, same outer envelope; only interior ring radii move
+    assert m_u.cells.shape == m_g.cells.shape
+    assert set(np.unique(m_g.cell_markers)) == {1, 2}
+    r_u = np.linalg.norm(m_u.coords[:, :2], axis=1)
+    r_g = np.linalg.norm(m_g.coords[:, :2], axis=1)
+    assert np.isclose(r_u.max(), r_g.max(), rtol=1e-6)
+    # graded wall-adjacent fluid ring sits CLOSER to the wall
+    x = m_g.coords[m_g.cells]
+    v6 = np.abs(np.linalg.det(np.stack(
+        [x[:, 1] - x[:, 0], x[:, 2] - x[:, 0], x[:, 3] - x[:, 0]],
+        axis=1)))
+    assert v6.min() > 0
+    fv_i, cp, lp, cm, lm = m_g.interior_facets(22)
+    assert np.all(m_g.cell_markers[cp] != m_g.cell_markers[cm])
+
+
+@pytest.mark.skipif(not TUBE.exists(), reason="STL fixtures absent")
 def test_stl_reader_and_caps():
     from vasp_tpu.preprocessing.surface_mesh import (boundary_loops,
                                                      read_stl, remove_caps)

@@ -188,6 +188,13 @@ def read_command_line(argv=None):
                    default=None, help="alias of --n-r-fluid (reference)")
     p.add_argument("-nbs", "--number-of-sublayers-solid", type=int,
                    default=None, help="alias of --n-r-solid (reference)")
+    p.add_argument("--sublayer-ratio-fluid", type=float, default=1.0,
+                   help="radial grading of the fluid rings toward the "
+                        "wall (reference SubLayerRatioFluid=0.75, "
+                        "preprocessing_common.py:164; 1.0 = uniform)")
+    p.add_argument("--sublayer-ratio-solid", type=float, default=1.0,
+                   help="grading of the solid wall layers (reference "
+                        "SubLayerRatioSolid=0.75; 1.0 = uniform)")
     p.add_argument("-fli", "--inlet-flowextension", type=float, default=None,
                    help="inlet extension in local diameters (reference -fli)")
     p.add_argument("-flo", "--outlet-flowextension", type=float,
@@ -284,6 +291,8 @@ def run_surface_pre_processing(input_model, mesh_path, n_z=40, n_theta=16,
                                compress_mesh=False, mesh_format="hdf5",
                                remove_all=False, visualize=False,
                                id_remap=None,
+                               sublayer_ratio_fluid=1.0,
+                               sublayer_ratio_solid=1.0,
                                verbose=True):
     """STL surface -> two-domain FSI mesh + the same metadata artifacts as
     the parametric path (reference pipeline stage P1 surface mode +
@@ -306,6 +315,8 @@ def run_surface_pre_processing(input_model, mesh_path, n_z=40, n_theta=16,
         smoothing_factor=smoothing_factor,
         meshing_method=meshing_method,
         refine_region=refine_region, refine_factor=refine_factor,
+        sublayer_ratio_fluid=sublayer_ratio_fluid,
+        sublayer_ratio_solid=sublayer_ratio_solid,
     )
     # centerline artifact (the reference writes <case>_centerline.vtp,
     # preprocessing.py:201-217; points + MIS radii as portable json).
@@ -619,6 +630,8 @@ def main_meshing(argv=None):
                     mean_inflow_rate=args.mean_inflow_rate,
                     flow_rate_factor=args.flow_rate_factor,
                     resampling_step=args.resampling_step,
+                    sublayer_ratio_fluid=args.sublayer_ratio_fluid,
+                    sublayer_ratio_solid=args.sublayer_ratio_solid,
                     compress_mesh=args.compress_mesh,
                     mesh_format=args.mesh_format,
                     remove_all=args.remove_all,

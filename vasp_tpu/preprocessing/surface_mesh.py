@@ -565,6 +565,17 @@ def add_flow_extensions(centers, e1, e2, r, ext_diams=2.0,
     return centers, e1, e2, r
 
 
+def graded_fractions(n, ratio):
+    """Cumulative radial fractions of n layers whose widths shrink by
+    `ratio` toward the wall (the reference's boundary-layer sublayer
+    grading, SubLayerRatio=0.75: each wall-ward sublayer is 0.75x the
+    previous one — reference preprocessing_common.py:164-166). ratio=1
+    is uniform."""
+    w = float(ratio) ** np.arange(n)
+    f = np.cumsum(w) / w.sum()
+    return f
+
+
 def surface_fsi_mesh(stl_path, n_z=40, n_theta=16, n_r_fluid=3,
                      n_r_solid=1, solid_thickness=None,
                      thickness_frac=0.25, scale_factor=1.0,
@@ -573,7 +584,8 @@ def surface_fsi_mesh(stl_path, n_z=40, n_theta=16, n_r_fluid=3,
                      smoothing_method="no_smooth",
                      smoothing_iterations=25, smoothing_factor=0.25,
                      meshing_method="constant", refine_region=None,
-                     refine_factor=4.0) -> TetMesh:
+                     refine_factor=4.0, sublayer_ratio_fluid=1.0,
+                     sublayer_ratio_solid=1.0) -> TetMesh:
     """Two-domain FSI mesh from an STL surface (reference pipeline stage
     P3; marker conventions of preprocessing_common.generate_mesh:
     entity ids 11/22/33, fluid=1/solid=2 after the +1 offset).
@@ -633,16 +645,21 @@ def surface_fsi_mesh(stl_path, n_z=40, n_theta=16, n_r_fluid=3,
     th = 2 * np.pi * np.arange(n_theta) / n_theta
     cth, sth = np.cos(th), np.sin(th)
 
+    # radial ring fractions: graded toward the wall when the sublayer
+    # ratios are < 1 (reference SubLayerRatio{Fluid,Solid}=0.75 grading;
+    # ratio 1.0 = uniform rings)
+    frac_f = graded_fractions(n_r_fluid, sublayer_ratio_fluid)
+    frac_s = graded_fractions(max(n_r_solid, 1), sublayer_ratio_solid)
     layers = []
     for k in range(nz1):
         pts = [centers[k][None, :]]
         dirs = (cth[:, None] * e1[k][None, :]
                 + sth[:, None] * e2[k][None, :])  # (n_theta, 3)
         for j in range(1, n_r_fluid + 1):
-            rad = r[k] * (j / n_r_fluid)
+            rad = r[k] * frac_f[j - 1]
             pts.append(centers[k][None, :] + rad[:, None] * dirs)
         for j in range(1, n_r_solid + 1):
-            rad = r[k] + thick[k] * (j / n_r_solid)
+            rad = r[k] + thick[k] * frac_s[j - 1]
             pts.append(centers[k][None, :] + rad[:, None] * dirs)
         layers.append(np.concatenate(pts, axis=0))
     coords = np.concatenate(layers, axis=0) * float(scale_factor)
