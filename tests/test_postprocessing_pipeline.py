@@ -114,6 +114,13 @@ def test_hemodynamics_pipeline(postproc_chain):
     assert np.all(np.isfinite(res["TAWSS"]))
     assert res["TAWSS"].max() > 0
     assert res["OSI"].min() >= -1e-12 and res["OSI"].max() <= 0.5 + 1e-12
+    # streamed (chunk_steps=1) reductions match the batched pass exactly:
+    # the scalable path for runs too long to hold in memory (the
+    # reference's MPI-parallel postproc analogue,
+    # compute_hemodynamics.py:376-377)
+    res1 = compute_hemodynamics(folder, chunk_steps=1)
+    for name in ("TAWSS", "TWSSG", "OSI", "RRT", "ECAP"):
+        assert np.allclose(res1[name], res[name], rtol=1e-12, atol=1e-300)
 
 
 def test_config_roundtrip(postproc_chain):

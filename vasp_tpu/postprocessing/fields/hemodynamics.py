@@ -156,8 +156,17 @@ class FluidBoundaryTables:
         ])
 
 
-def compute_hemodynamics(folder, mesh_path=None, quad_degree=2):
-    """Main entry (vasp-compute-hemo equivalent)."""
+def compute_hemodynamics(folder, mesh_path=None, quad_degree=2,
+                         chunk_steps=None):
+    """Main entry (vasp-compute-hemo equivalent).
+
+    The time series is STREAMED in chunks of `chunk_steps` timesteps
+    (default auto-sized to ~0.5 GB of velocity data): every index
+    (TAWSS/TWSSG/OSI/RRT/ECAP) is a running reduction with one-step
+    lookback, so memory is O(chunk x ndof) regardless of T — the
+    scalable analogue of the reference's MPI-parallel postprocessing
+    (reference compute_hemodynamics.py:376-377), sized for the
+    1M-dof x 30k-step production case a single host can't hold."""
     folder = Path(folder)
     params = read_parameters_from_file(folder) or {}
     mu_f = params.get("mu_f", 1.0)
@@ -175,29 +184,57 @@ def compute_hemodynamics(folder, mesh_path=None, quad_degree=2):
         from vasp_tpu.postprocessing.fields.create_hdf5 import create_hdf5
 
         create_hdf5(folder, mesh_path=mesh_path)
-    with h5py.File(u_path, "r") as f:
-        T = len(f["time"])
-        times = f["time"][:]
-        ids = f["ids"][:]
-        n_p2 = mesh.num_vertices + mesh.num_edges
-        u_series = np.zeros((T, n_p2, 3))
-        for k in range(T):
-            u_series[k, ids] = f[f"velocity/vector_{k}"][:]
 
     from vasp_tpu.fem.functionspace import DVPSpace
 
     space = DVPSpace(mesh)
     tables = FluidBoundaryTables(mesh, dx_f_id, quad_degree)
-    tau = np.asarray(tables.wss_series(u_series, space.cell_dofs_p2, mu_f))
+    n_p2 = mesh.num_vertices + mesh.num_edges
+
+    out_dir = folder / "Hemodynamic_indices"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    coords, tris = tables.boundary_coords, tables.boundary_tris
+    w_wss = VizWriter(out_dir, "WSS", coords, tris, vector=True,
+                      cell_type="Triangle")
+
+    if chunk_steps is None:
+        # ~0.5 GB of f64 velocity rows per chunk
+        chunk_steps = max(1, int(2.2e7 / max(n_p2, 1)))
+    nb = len(tables.bnodes)
+    sum_taumag = np.zeros(nb)
+    sum_tau = np.zeros((nb, 3))
+    sum_dtaumag = np.zeros(nb)
+    prev_tau = None
+    with h5py.File(u_path, "r") as f:
+        T = len(f["time"])
+        times = f["time"][:]
+        ids = f["ids"][:]
+        for k0 in range(0, T, chunk_steps):
+            k1 = min(k0 + chunk_steps, T)
+            u_series = np.zeros((k1 - k0, n_p2, 3))
+            for i, k in enumerate(range(k0, k1)):
+                u_series[i, ids] = f[f"velocity/vector_{k}"][:]
+            tau = np.asarray(tables.wss_series(
+                u_series, space.cell_dofs_p2, mu_f))
+            for i, k in enumerate(range(k0, k1)):
+                w_wss.write(tau[i], float(times[k]))
+            sum_taumag += np.linalg.norm(tau, axis=2).sum(axis=0)
+            sum_tau += tau.sum(axis=0)
+            if prev_tau is not None:
+                tau_ext = np.concatenate([prev_tau[None], tau], axis=0)
+            else:
+                tau_ext = tau
+            if tau_ext.shape[0] > 1:
+                sum_dtaumag += np.linalg.norm(
+                    np.diff(tau_ext, axis=0), axis=2).sum(axis=0)
+            prev_tau = tau[-1]
 
     dt = np.diff(times).mean() if len(times) > 1 else 1.0
-    tau_mag = np.linalg.norm(tau, axis=2)  # (T,Nb)
-    TAWSS = tau_mag.mean(axis=0)
-    WSS_mean = tau.mean(axis=0)
+    TAWSS = sum_taumag / T
+    WSS_mean = sum_tau / T
     wss_mean_mag = np.linalg.norm(WSS_mean, axis=1)
-    if len(times) > 1:
-        dtau = np.diff(tau, axis=0) / dt
-        TWSSG = np.linalg.norm(dtau, axis=2).mean(axis=0)
+    if T > 1:
+        TWSSG = sum_dtaumag / (T - 1) / dt
     else:
         TWSSG = np.zeros_like(TAWSS)
     eps = 1e-300
@@ -211,22 +248,14 @@ def compute_hemodynamics(folder, mesh_path=None, quad_degree=2):
         "OSI out of [0, 0.5]"
     )
 
-    out_dir = folder / "Hemodynamic_indices"
-    out_dir.mkdir(parents=True, exist_ok=True)
-    coords, tris = tables.boundary_coords, tables.boundary_tris
     for name, arr in (("TAWSS", TAWSS), ("TWSSG", TWSSG), ("OSI", OSI),
                       ("RRT", RRT), ("ECAP", ECAP)):
         w = VizWriter(out_dir, name, coords, tris, vector=False,
                       cell_type="Triangle")
         w.write(arr, 0.0)
-    # instantaneous WSS time series
-    w = VizWriter(out_dir, "WSS", coords, tris, vector=True,
-                  cell_type="Triangle")
-    for k, t in enumerate(times):
-        w.write(tau[k], float(t))
     # expose facet markers for region selection by downstream consumers
     with h5py.File(out_dir / "TAWSS.h5", "a") as f:
         f.create_dataset("boundary_markers", data=tables.markers)
         f.create_dataset("boundary_nodes", data=tables.bnodes)
     return dict(TAWSS=TAWSS, TWSSG=TWSSG, OSI=OSI, RRT=RRT, ECAP=ECAP,
-                tau=tau, tables=tables, times=times)
+                tables=tables, times=times)
