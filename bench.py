@@ -117,11 +117,14 @@ def measure(size_name):
         banded_factor_dtype=os.environ.get("BENCH_FDTYPE") or None,
         # cross-step anchor chain A/B knob (off: "mixed" supersedes it)
         chain_anchor=os.environ.get("BENCH_CHAIN", "0") == "1",
-        # hybrid fine-residual mode: "mixed" = f64 element work only on
-        # the solid block (f64-grade at ~0.3x the emulated-f64 cost —
-        # measured error l2 5e-10, diag_mixed_residual.py); "f32" = the
-        # old full-f64 endgame (BENCH_RESID=f32 for A/B)
-        residual_dtype=os.environ.get("BENCH_RESID", "mixed"),
+        # hybrid fine-residual mode: "f32f" = pure-f32 fine evals (the
+        # cancellation-free strain formulation makes the all-f32 residual
+        # f64-grade: error l2 5.7e-9 vs atol 1e-6 at 185k dofs,
+        # diag_mixed_residual.py; measured 2.39 -> 1.41 s/step full bench,
+        # and the vmtk fixture converges clean at 0.45 s/step); "mixed" =
+        # f64 element work on the solid block only (~0.3x emulated-f64
+        # cost, error l2 5e-10); "f32" = the old full-f64 endgame
+        residual_dtype=os.environ.get("BENCH_RESID", "f32f"),
         # NOTE endgame_factor=3.0 was measured SLOWER here (adds a Newton
         # iteration: coarse updates computed from residuals within ~10x of
         # the f32 noise floor converge visibly slower, so deferring the

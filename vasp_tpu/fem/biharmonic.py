@@ -59,6 +59,10 @@ def build_biharmonic(mesh, space, fluid_ids, sub_type="bc1",
 
     fluid_ids = np.atleast_1d(fluid_ids)
     sel = np.nonzero(np.isin(mesh.cell_markers, fluid_ids))[0]
+    # P2 nodes owned by NON-fluid (solid) cells carry the solid kinematic
+    # equation — the lifting correction must not write to their d-rows
+    # (same rule as CellBlock.rowmask; see fem/assembly.py)
+    solid_sel = np.nonzero(~np.isin(mesh.cell_markers, fluid_ids))[0]
     cells = mesh.cells[sel]
     Jinv, detJ, _ = cell_geometry(mesh.coords, mesh.cells)
     Jinv, detJ = Jinv[sel], detJ[sel]
@@ -104,6 +108,9 @@ def build_biharmonic(mesh, space, fluid_ids, sub_type="bc1",
     np.add.at(diagL, p2dofs.reshape(-1),
               np.einsum("kaa->ka", Ke).reshape(-1))
     gamma = float(np.median((diagL * minv)[in_fluid]))
+    dmask = np.ones(n_p2, np.float64)
+    if len(solid_sel):
+        dmask[np.unique(space.cell_dofs_p2[solid_sel])] = 0.0
     # NOTE: arrays only (valid jit-argument pytree; sizes derived from
     # shapes at trace time)
     return dict(
@@ -111,6 +118,7 @@ def build_biharmonic(mesh, space, fluid_ids, sub_type="bc1",
         p2dofs=jnp.asarray(p2dofs.astype(np.int32)),
         minv=jnp.asarray(minv),
         wfree=jnp.asarray(in_fluid),
+        dmask=jnp.asarray(dmask),
         beta=jnp.asarray(float(beta)),
         beta_gamma=jnp.asarray(float(beta) * gamma),
     )
@@ -137,6 +145,8 @@ def correction_apply(lift, U):
     # total d-block = beta L M^-1 L; element kernels carry beta*gamma*L
     rd = (lift["beta"].astype(d.dtype) * _L_apply(lift, w)
           - lift["beta_gamma"].astype(d.dtype) * Ld)
+    # kinematic-row mask: no lifting contribution on solid-owned d-rows
+    rd = rd * lift["dmask"].astype(d.dtype)[:, None]
     out = jnp.zeros_like(U)
     return out.at[:n_d].set(rd.reshape(-1).astype(U.dtype))
 
@@ -155,7 +165,9 @@ def correction_csr(lift, ndof):
                        shape=(n_p2, n_p2)).tocsr()
     winv = np.asarray(lift["minv"]) * np.asarray(lift["wfree"])
     C = (float(lift["beta"]) * (Ls @ sp.diags(winv) @ Ls)
-         - float(lift["beta_gamma"]) * Ls).tocoo()
+         - float(lift["beta_gamma"]) * Ls)
+    # kinematic-row mask (same rule as correction_apply)
+    C = (sp.diags(np.asarray(lift["dmask"])) @ C).tocoo()
     # expand scalar node operator to the 3 interleaved d components
     # (d dof = 3*node + comp)
     r = (3 * C.row[:, None] + np.arange(3)[None, :]).reshape(-1)

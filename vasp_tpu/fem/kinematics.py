@@ -34,51 +34,69 @@ def J_(grad_d):
 
 
 def E_(grad_d):
-    """Green-Lagrange strain E = (F^T F - I)/2."""
-    F = F_(grad_d)
-    return 0.5 * (F.T @ F - _eye(F.dtype))
+    """Green-Lagrange strain, CANCELLATION-FREE form.
+
+    E = (F^T F - I)/2 == (H + H^T + H^T H)/2 with H = grad(d), exactly.
+    The second form never subtracts the identity, so in f32 the roundoff
+    is RELATIVE to |E| (~1e-3 strains here) instead of absolute at
+    eps_f32 ~ 6e-8 per C entry — this is what makes pure-f32 solid
+    residual kernels f64-grade (scripts/diag_mixed_residual.py)."""
+    H = grad_d
+    return 0.5 * (H + H.T + H.T @ H)
 
 
 # ---------------- material models ----------------
-# Strain-energy based: S = 2 dW/dC via autodiff, so adding a model is one
-# scalar function. Parameter keys match the reference's solid_properties
-# dicts (reference: src/vasp/simulations/avf.py:76-80, predeform.py:71-72).
+# Strain-energy based, parameterized by the GREEN-LAGRANGE STRAIN E rather
+# than C = I + 2E: every invariant is expressed as its deviation from the
+# stress-free state (I1-3 = 2 tr E, ln J = log1p(...)/2, ...), so small
+# strains never ride on top of O(1) identity entries — the f32 element
+# kernels are then f64-grade (measured: all-f32 residual error drops from
+# 2.7e-6 to the noise floor of the OTHER blocks; diag_mixed_residual.py).
+# S = 2 dW/dC = dW/dE via autodiff, so adding a model is one scalar
+# function. Parameter keys match the reference's solid_properties dicts
+# (reference: src/vasp/simulations/avf.py:76-80, predeform.py:71-72).
 
 
-def _invariants(C):
-    I1 = jnp.trace(C)
-    I2 = 0.5 * (I1 ** 2 - jnp.trace(C @ C))
+def _invariant_deltas(E):
+    """(I1 - 3, I2 - 3, 2 ln J) of C = I + 2E, each cancellation-free.
+
+    det(C) = det(I + 2E) = 1 + x with
+    x = 2 tr E + 2 ((tr E)^2 - tr E^2) + 8 det E (exact 3x3 expansion),
+    so 2 ln J = ln det C = log1p(x)."""
     from vasp_tpu.fem.smallmat import det3
-    J = jnp.sqrt(det3(C))
-    return I1, I2, J
+    trE = jnp.trace(E)
+    trE2 = jnp.trace(E @ E)
+    dI1 = 2.0 * trE
+    dI2 = 4.0 * trE + 2.0 * (trE ** 2 - trE2)
+    x = 2.0 * trE + 2.0 * (trE ** 2 - trE2) + 8.0 * det3(E)
+    return dI1, dI2, jnp.log1p(x)
 
 
-def W_st_venant_kirchoff(C, props):
+def W_st_venant_kirchoff(E, props):
     mu, lam = props["mu_s"], props["lambda_s"]
-    E = 0.5 * (C - _eye(C.dtype))
     return 0.5 * lam * jnp.trace(E) ** 2 + mu * jnp.trace(E @ E)
 
 
-def W_mooney_rivlin(C, props):
+def W_mooney_rivlin(E, props):
     """Compressible Mooney-Rivlin with (C01, C10, C11) + lambda_s volumetric
-    term; stress-free at C = I."""
+    term; stress-free at E = 0."""
     C01, C10, C11 = props["C01"], props["C10"], props["C11"]
     lam = props["lambda_s"]
-    I1, I2, J = _invariants(C)
-    lnJ = jnp.log(J)
+    dI1, dI2, lndetC = _invariant_deltas(E)
+    lnJ = 0.5 * lndetC
     return (
-        C01 * (I1 - 3.0)
-        + C10 * (I2 - 3.0)
-        + C11 * (I1 - 3.0) * (I2 - 3.0)
+        C01 * dI1
+        + C10 * dI2
+        + C11 * dI1 * dI2
         + 0.5 * lam * lnJ ** 2
         - (2.0 * C01 + 4.0 * C10) * lnJ
     )
 
 
-def W_linear_elastic(C, props):
+def W_linear_elastic(E, props):
     """Linear (St.Venant with linearized strain is not expressible in W(C);
     kept as StVenantKirchoff alias for small strains)."""
-    return W_st_venant_kirchoff(C, props)
+    return W_st_venant_kirchoff(E, props)
 
 
 _MATERIALS = {
@@ -89,21 +107,22 @@ _MATERIALS = {
 
 
 def S_(grad_d, props):
-    """Second Piola-Kirchhoff stress S = 2 dW/dC for the material model named
-    in props['material_model'] (default StVenantKirchoff, matching the
-    reference default_variables)."""
+    """Second Piola-Kirchhoff stress S = 2 dW/dC = dW/dE for the material
+    model named in props['material_model'] (default StVenantKirchoff,
+    matching the reference default_variables). E is computed
+    cancellation-free from grad_d (see E_)."""
     model = props.get("material_model", "StVenantKirchoff")
     W = _MATERIALS[model]
-    F = F_(grad_d)
-    C = F.T @ F
+    E = E_(grad_d)
 
-    def W_of_C(Csym):
-        return W(Csym, props)
+    def W_of_E(Esym):
+        return W(Esym, props)
 
-    dWdC = jax.grad(W_of_C)(C)
-    # symmetrize: C is symmetric; grad wrt full matrix gives dW/dC_ij treating
-    # entries independent -> S = (dWdC + dWdC^T)
-    return dWdC + dWdC.T
+    dWdE = jax.grad(W_of_E)(E)
+    # symmetrize: E is symmetric; grad wrt full matrix gives dW/dE_ij
+    # treating entries independent -> S = (dWdE + dWdE^T)/2 + diagonal
+    # correction folded in by symmetry of W's invariants
+    return 0.5 * (dWdE + dWdE.T)
 
 
 def piola1(grad_d, props):

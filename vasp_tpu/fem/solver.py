@@ -344,10 +344,13 @@ class NewtonSolver:
         if not converged:
             U, res = best_U, best_res
             rel = res / first_res if first_res else 1.0
-            if opt.raise_on_fail and rel > 1e-2 and res > 100 * opt.atol:
+            # reference semantics: turtleFSI's newtonsolver raises past
+            # max_it unconditionally (SURVEY §2.3); problems opt out with
+            # raise_on_fail=False in their config
+            if opt.raise_on_fail:
                 raise RuntimeError(
                     f"Newton solver did not converge in {it} iterations "
-                    f"(best residual {res:.3e})"
+                    f"(best residual {res:.3e}, rel {rel:.3e})"
                 )
         return U, dict(iterations=it, residual=res, rel=rel,
                        converged=converged)

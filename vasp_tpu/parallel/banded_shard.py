@@ -99,6 +99,7 @@ def partition_blocks(system, plan: ShardPlan):
             "element spans more than one halo — bandwidth violated")
         K_loc = max(1, int(np.bincount(owner, minlength=n).max()))
         is_cell = isinstance(b, CellBlock)
+        has_mask = is_cell and getattr(b, "rowmask", None) is not None
         if is_cell:
             data = dict(
                 dofs=np.full((n, K_loc, dofs.shape[1]), dump, np.int32),
@@ -106,6 +107,11 @@ def partition_blocks(system, plan: ShardPlan):
                 detJ=np.zeros((n, K_loc)),
                 vol=np.ones((n, K_loc)),
             )
+            if has_mask:
+                # kinematic-row mask (fem/assembly.py CellBlock.rowmask);
+                # padded elements keep 1.0 — they scatter to the dump slot
+                data["rowmask"] = np.ones(
+                    (n, K_loc, dofs.shape[1]), np.float32)
         else:
             data = dict(
                 dofs=np.full((n, K_loc, dofs.shape[1]), dump, np.int32),
@@ -119,6 +125,8 @@ def partition_blocks(system, plan: ShardPlan):
                 data["Jinv"][dev, :k] = np.asarray(b.Jinv)[sel]
                 data["detJ"][dev, :k] = np.asarray(b.detJ)[sel]
                 data["vol"][dev, :k] = np.asarray(b.vol)[sel]
+                if has_mask:
+                    data["rowmask"][dev, :k] = np.asarray(b.rowmask)[sel]
             else:
                 data["area2"][dev, :k] = np.asarray(b.area2)[sel]
         skeleton.append(("cell" if is_cell else "facet", b.name, b.kernel))
@@ -172,6 +180,8 @@ def _local_residual(skeleton, blocks_loc, U_ext, U0_ext, size, dtype=None):
                                  data["detJ"], data["vol"])
         else:
             r = jax.vmap(kernel)(U_ext[dofs], data["area2"])
+        if "rowmask" in data:
+            r = r * data["rowmask"].astype(r.dtype)
         R = R.at[dofs.reshape(-1)].add(r.reshape(-1).astype(R.dtype))
     return R
 
@@ -191,6 +201,8 @@ def _local_residual_f32(skeleton, blocks_loc, U_ext, U0_ext, size):
         else:
             r = jax.vmap(kernel)(U32[dofs],
                                  data["area2"].astype(jnp.float32))
+        if "rowmask" in data:
+            r = r * data["rowmask"].astype(r.dtype)
         R = R.at[dofs.reshape(-1)].add(r.reshape(-1).astype(jnp.float64))
     return R
 
@@ -223,6 +235,8 @@ def _local_residual_delta(skeleton, blocks_loc, U_ext, A_ext, U0_ext, size,
         )
         _, out_series = jet.jet(fn, prim, series)
         r = sum(out_series)
+        if "rowmask" in data:
+            r = r * data["rowmask"].astype(r.dtype)
         R = R.at[dofs.reshape(-1)].add(r.reshape(-1).astype(jnp.float64))
     return R
 
@@ -240,7 +254,10 @@ def _local_jacobians(skeleton, blocks_loc, U_ext, U0_ext, chunk, dtype):
             args = [U_ext[data["dofs"]], data["area2"]]
         if dtype is not None:
             args = [a.astype(dtype) for a in args]
-        jacs.append(chunked_vmap(jac, args, chunk))
+        A = chunked_vmap(jac, args, chunk)
+        if "rowmask" in data:
+            A = A * data["rowmask"].astype(A.dtype)[:, :, None]
+        jacs.append(A)
     return jacs
 
 

@@ -71,6 +71,8 @@ def shard_system_blocks(system, n_shards, pad_dof):
                 detJ=_pad_to(np.asarray(b.detJ), K_new, 0.0),
                 vol=_pad_to(np.asarray(b.vol), K_new, 1.0),
             )
+            if getattr(b, "rowmask", None) is not None:
+                data["rowmask"] = _pad_to(np.asarray(b.rowmask), K_new, 1.0)
             # identity Jinv for padded cells (avoid NaNs in kernels)
             if K_new > K:
                 data["Jinv"][K:] = np.eye(3)

@@ -86,9 +86,6 @@ def compute_stress_strain(folder, mesh_path=None, stride=1):
         ids = f["ids"][:]
         T = len(times)
         steps = list(range(0, T, stride))
-        d_series = np.zeros((len(steps), n_p2, 3))
-        for k, i in enumerate(steps):
-            d_series[k, ids] = f[f"displacement/vector_{i}"][:]
         times = times[steps]
 
     Jinv, _, _ = cell_geometry(mesh.coords, mesh.cells)
@@ -169,8 +166,16 @@ def compute_stress_strain(folder, mesh_path=None, stride=1):
         gd = jnp.einsum("kai,kqaj->kqij", de, Gj)  # (K,4,3,3)
         return gd
 
+    # STREAM the displacement series one step at a time: O(ndof) memory
+    # regardless of T (the reference postprocesses under MPI for the same
+    # reason, compute_stress_strain.py; a 1M-dof x 30k-step series cannot
+    # be materialized on one host)
+    d_step = np.zeros((n_p2, 3))
+    f_d = h5py.File(d_file, "r")
     for k, t in enumerate(times):
-        gd = step_fields(jnp.asarray(d_series[k]))
+        d_step[:] = 0.0
+        d_step[ids] = f_d[f"displacement/vector_{steps[k]}"][:]
+        gd = step_fields(jnp.asarray(d_step))
         sig = np.zeros((len(solid_cells), 4, 3, 3))
         eps = np.zeros_like(sig)
         off = 0
@@ -202,6 +207,7 @@ def compute_stress_strain(folder, mesh_path=None, stride=1):
             eps.reshape(-1, 9).reshape(-1), float(t))
         mps_sum += mps_n
         mpe_sum += mpe_n
+    f_d.close()
 
     avg_writers = {
         "MaxPrincipalStress_avg": mps_sum / len(times),

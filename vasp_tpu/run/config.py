@@ -108,6 +108,10 @@ def parse_command_line(argv=None):
                         default=None)
     parser.add_argument("--config", type=str, default=None,
                         help="JSON config file with overrides")
+    parser.add_argument("--n-devices", type=str, default=None,
+                        help="shard the solve over N devices ('auto' = all "
+                             "visible chips); the reference's `mpirun -np N "
+                             "turtleFSI` analogue (docs/simulation.md:13-19)")
     parser.add_argument("--new-arguments", nargs="*", default=None,
                         metavar="key=value")
     args = parser.parse_args(argv)
@@ -118,7 +122,8 @@ def parse_command_line(argv=None):
             overrides.update(json.load(f))
     for key, cli in (("dt", args.dt), ("T", args.T), ("theta", args.theta),
                      ("folder", args.folder), ("sub_folder", args.sub_folder),
-                     ("save_deg", args.save_deg), ("verbose", args.verbose)):
+                     ("save_deg", args.save_deg), ("verbose", args.verbose),
+                     ("n_devices", args.n_devices)):
         if cli is not None:
             overrides[key] = cli
     if args.new_arguments:

@@ -111,6 +111,21 @@ class FSISystem:
         self.solid_props = normalize_solid_properties(cfg)
 
         dofs_mixed = space.cell_dofs_mixed
+        # d-dofs that carry the solid KINEMATIC equation (d-dot = v): every
+        # d-dof owned by a solid cell. The fluid mesh-lifting form must not
+        # contribute to those rows — the lifting "traction" otherwise
+        # competes with (and at production scales, dominates) the kinematic
+        # relation on the shared interface rows, decoupling the wall motion
+        # from the solid physics (see CellBlock.rowmask; the reference
+        # stack's equivalent is turtleFSI's delta=1e10 kinematic weight).
+        solid_sel_all = [np.nonzero(mesh.cell_markers == sp["dx_s_id"])[0]
+                         for sp in self.solid_props]
+        if solid_sel_all and sum(len(s) for s in solid_sel_all):
+            kin_d = np.unique(
+                dofs_mixed[np.concatenate(solid_sel_all)][:, :30])
+        else:
+            kin_d = np.empty(0, np.int64)
+
         for fp in self.fluid_props:
             sel = np.nonzero(mesh.cell_markers == fp["dx_f_id"])[0]
             if len(sel) == 0:
@@ -126,6 +141,13 @@ class FSISystem:
                 quad_degree=qd,
                 p_stab=float(cfg.get("p_stab", 0.0)),
             )
+            rowmask = None
+            if len(kin_d):
+                bd = dofs_mixed[sel]
+                rm = np.ones(bd.shape, np.float32)
+                rm[:, :30] = (~np.isin(bd[:, :30], kin_d)).astype(np.float32)
+                if (rm == 0.0).any():
+                    rowmask = jnp.asarray(rm)
             blocks.append(
                 CellBlock(
                     name=f"fluid_{fp['dx_f_id']}",
@@ -134,6 +156,7 @@ class FSISystem:
                     Jinv=jnp.asarray(Jinv[sel]),
                     detJ=jnp.asarray(detJ[sel]),
                     vol=jnp.asarray(vol[sel]),
+                    rowmask=rowmask,
                 )
             )
         for sp in self.solid_props:
@@ -223,9 +246,42 @@ class FSISystem:
             bcs += self.auto_pressure_pin_bcs()
         return BCSet(self.space.ndof, bcs)
 
+    def _resolve_device_mesh(self):
+        """Device mesh for the solver, from the `n_devices` config knob
+        (the reference's `mpirun -np N` analogue, docs/simulation.md:13-19).
+
+        n_devices: int -> shard over that many devices; "auto"/"max" -> all
+        visible; unset -> auto-shard only when MULTIPLE ACCELERATOR chips
+        are visible (virtual CPU meshes opt in explicitly so single-chip
+        CPU tests keep the single-device path)."""
+        n_req = self.cfg.get("n_devices")
+        if n_req in (None, "None", "", 0, 1, "1"):
+            import jax
+
+            devs = jax.devices()
+            if len(devs) > 1 and devs[0].platform != "cpu":
+                n_req = len(devs)
+            else:
+                return None
+        from vasp_tpu.parallel.shard import build_device_mesh
+
+        n = None if n_req in ("auto", "max") else int(n_req)
+        if n == 1:
+            return None
+        return build_device_mesh(n, "dof")
+
     def make_solver(self, bc_set, **opts):
         cfg = self.cfg
         lin = cfg.get("linear_solver", "lu")
+        if lin not in ("gmres", "iterative", "ras") \
+                and cfg.get("n_devices") not in (None, "None", "", 0, 1, "1"):
+            # reference configs say "mumps"; the multi-chip equivalent of a
+            # parallel direct solve is the sharded banded-preconditioned
+            # Newton-Krylov path (reference: mpirun -np N turtleFSI,
+            # docs/simulation.md:13-19)
+            print(f"n_devices={cfg['n_devices']}: running the sharded "
+                  f"iterative path (linear_solver={lin!r} is single-device)")
+            lin = "gmres"
         if lin in ("gmres", "iterative", "ras"):
             from vasp_tpu.fem.timestepper import (IterativeNewtonSolver,
                                                   StepOptions)
@@ -246,6 +302,10 @@ class FSISystem:
                 precond=str(cfg.get("precond", "banded")),
                 predictor=str(cfg.get("predictor", "none")),
                 endgame_factor=float(cfg.get("endgame_factor", 30.0)),
+                # cross-step anchor chain (opt-in; residual_dtype="mixed"
+                # supersedes it — see StepOptions.chain_anchor)
+                chain_anchor=bool(cfg.get("chain_anchor", False)),
+                chain_reanchor=int(cfg.get("chain_reanchor", 1)),
             )
             import dataclasses as _dc
             known = {f.name for f in _dc.fields(sopts)}
@@ -257,6 +317,7 @@ class FSISystem:
                 recompute_tstep=int(cfg.get("recompute_tstep", 20)),
                 verbose=bool(cfg.get("verbose", True)),
                 raise_on_fail=bool(cfg.get("raise_on_fail", True)),
+                device_mesh=self._resolve_device_mesh(),
             )
         options = NewtonOptions(
             atol=float(cfg.get("atol", 1e-7)),
