@@ -125,6 +125,9 @@ def measure(size_name):
         # f64 element work on the solid block only (~0.3x emulated-f64
         # cost, error l2 5e-10); "f32" = the old full-f64 endgame
         residual_dtype=os.environ.get("BENCH_RESID", "f32f"),
+        # BENCH_PREDICTOR=extrapolate seeds Newton with the linear
+        # time-extrapolated state (host-side only — same jitted program)
+        predictor=os.environ.get("BENCH_PREDICTOR", "none"),
         # NOTE endgame_factor=3.0 was measured SLOWER here (adds a Newton
         # iteration: coarse updates computed from residuals within ~10x of
         # the f32 noise floor converge visibly slower, so deferring the

@@ -163,6 +163,12 @@ def read_command_line(argv=None):
                    help="densify layers inside the sphere (reference "
                         "--refine-region, preprocessing.py:223-269)")
     p.add_argument("--refine-factor", type=float, default=4.0)
+    p.add_argument("--core", default="structured",
+                   choices=["structured", "delaunay"],
+                   help="fluid-core mesher for surface input: structured "
+                        "reparameterized tube, or unstructured Delaunay "
+                        "core + prismatic boundary layer (the reference's "
+                        "TetGen+vmtk decomposition)")
     p.add_argument("-sm", "--smoothing-method", default="no_smooth",
                    choices=["no_smooth", "laplace", "taubin", "voronoi"],
                    help="surface smoothing before meshing (reference "
@@ -293,31 +299,51 @@ def run_surface_pre_processing(input_model, mesh_path, n_z=40, n_theta=16,
                                id_remap=None,
                                sublayer_ratio_fluid=1.0,
                                sublayer_ratio_solid=1.0,
+                               core="structured", edge_length=None,
                                verbose=True):
     """STL surface -> two-domain FSI mesh + the same metadata artifacts as
     the parametric path (reference pipeline stage P1 surface mode +
     P3 meshing; vasp_tpu/preprocessing/surface_mesh.py docstring for the
-    structured reparameterization design)."""
+    structured reparameterization design; core="delaunay" selects the
+    unstructured TetGen-equivalent core,
+    vasp_tpu/preprocessing/delaunay_mesh.py)."""
     from vasp_tpu.preprocessing.surface_mesh import (extract_centerline,
                                                      surface_fsi_mesh)
 
     mesh_path = Path(mesh_path)
     mesh_path.parent.mkdir(parents=True, exist_ok=True)
-    mesh = surface_fsi_mesh(
-        input_model, n_z=n_z, n_theta=n_theta, n_r_fluid=n_r_fluid,
-        n_r_solid=n_r_solid, solid_thickness=solid_thickness,
-        thickness_frac=thickness_frac, scale_factor=scale_factor,
-        flow_extensions=flow_extensions,
-        inlet_extension=inlet_extension, outlet_extension=outlet_extension,
-        no_solid=no_solid,
-        smoothing_method=smoothing_method,
-        smoothing_iterations=smoothing_iterations,
-        smoothing_factor=smoothing_factor,
-        meshing_method=meshing_method,
-        refine_region=refine_region, refine_factor=refine_factor,
-        sublayer_ratio_fluid=sublayer_ratio_fluid,
-        sublayer_ratio_solid=sublayer_ratio_solid,
-    )
+    if core == "delaunay":
+        from vasp_tpu.preprocessing.delaunay_mesh import delaunay_fsi_mesh
+
+        if flow_extensions or inlet_extension or outlet_extension:
+            raise ValueError(
+                "flow extensions are not supported with --core delaunay "
+                "yet; add them to the surface first (vasp-generate-mesh "
+                "--core structured --add-flowextensions)")
+        mesh = delaunay_fsi_mesh(
+            input_model, edge_length=edge_length, n_bl_fluid=n_r_fluid,
+            sublayer_ratio_fluid=sublayer_ratio_fluid,
+            n_r_solid=n_r_solid, sublayer_ratio_solid=sublayer_ratio_solid,
+            solid_thickness=solid_thickness, thickness_frac=thickness_frac,
+            no_solid=no_solid, scale_factor=scale_factor,
+        )
+    else:
+        mesh = surface_fsi_mesh(
+            input_model, n_z=n_z, n_theta=n_theta, n_r_fluid=n_r_fluid,
+            n_r_solid=n_r_solid, solid_thickness=solid_thickness,
+            thickness_frac=thickness_frac, scale_factor=scale_factor,
+            flow_extensions=flow_extensions,
+            inlet_extension=inlet_extension,
+            outlet_extension=outlet_extension,
+            no_solid=no_solid,
+            smoothing_method=smoothing_method,
+            smoothing_iterations=smoothing_iterations,
+            smoothing_factor=smoothing_factor,
+            meshing_method=meshing_method,
+            refine_region=refine_region, refine_factor=refine_factor,
+            sublayer_ratio_fluid=sublayer_ratio_fluid,
+            sublayer_ratio_solid=sublayer_ratio_solid,
+        )
     # centerline artifact (the reference writes <case>_centerline.vtp,
     # preprocessing.py:201-217; points + MIS radii as portable json).
     # resampling_step sets the station spacing (reference -rs).
@@ -603,6 +629,13 @@ def main_meshing(argv=None):
             pts = np.asarray(args.region_points, float).reshape(-1, 3)
             _, _, L = _surface_extent(args.input_model)
             refine_region = [[*p, 0.1 * L] for p in pts]
+        edge_length = args.edge_length
+        if args.core == "delaunay" and edge_length is None:
+            # concrete default so the retry loop can coarsen it
+            r_mean, _, _ = _surface_extent(args.input_model)
+            edge_length = r_mean / 3.0
+        if args.core == "delaunay" and args.coarsening_factor != 1.0:
+            edge_length *= args.coarsening_factor
         # retry-with-coarsening loop (the reference retries meshing with
         # an alternative remesh on failure, preprocessing.py:501-541)
         attempt = 0
@@ -610,6 +643,7 @@ def main_meshing(argv=None):
             try:
                 run_surface_pre_processing(
                     args.input_model, args.mesh_path,
+                    core=args.core, edge_length=edge_length,
                     n_z=n_z, n_theta=n_theta,
                     n_r_fluid=args.n_r_fluid, n_r_solid=args.n_r_solid,
                     solid_thickness=thickness,
@@ -646,9 +680,15 @@ def main_meshing(argv=None):
                     raise
                 n_z = max(3, int(round(0.8 * n_z)))
                 n_theta = max(8, int(round(0.8 * n_theta)))
-                print(f"Mesh generation failed ({exc}); retry {attempt} "
-                      f"at coarser resolution n_z={n_z} n_theta={n_theta}",
-                      flush=True)
+                if args.core == "delaunay":
+                    edge_length *= 1.25
+                    print(f"Mesh generation failed ({exc}); retry "
+                          f"{attempt} at coarser edge length "
+                          f"{edge_length:.4g}", flush=True)
+                else:
+                    print(f"Mesh generation failed ({exc}); retry "
+                          f"{attempt} at coarser resolution n_z={n_z} "
+                          f"n_theta={n_theta}", flush=True)
     geometry = args.geometry
     sev = args.stenosis_severity or (0.5 if geometry == "stenosis" else 0.0)
     blg = args.bulge or (0.8 if geometry == "aneurysm" else 0.0)
