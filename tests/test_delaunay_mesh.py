@@ -76,6 +76,124 @@ def test_delaunay_boundary_layer_grading():
     assert 0.5 < ratio < 0.9, ratio
 
 
+def _dome_tube_stl(path, R=1.3, L=12.0, A=1.8, zc=6.0, w=1.5,
+                   n_z=72, n_th=48):
+    """Synthetic sidewall-aneurysm surface: straight tube with a steep
+    Gaussian-shouldered dome bump at (z=zc, theta=0), open at both ends
+    (2 boundary loops). Units ~mm like the reference STL fixtures."""
+    from vasp_tpu.preprocessing.surface_mesh import write_stl
+
+    z = np.linspace(0.0, L, n_z + 1)
+    th = 2 * np.pi * np.arange(n_th) / n_th
+    Z, TH = np.meshgrid(z, th, indexing="ij")
+    ang = np.minimum(TH, 2 * np.pi - TH)  # angular distance to theta=0
+    s2 = ((Z - zc) / w) ** 2 + (R * ang / w) ** 2
+    r = R + A * np.exp(-s2 ** 1.5)
+    V = np.stack([r * np.cos(TH), r * np.sin(TH), Z],
+                 axis=-1).reshape(-1, 3)
+
+    def vid(i, j):
+        return i * n_th + (j % n_th)
+
+    F = []
+    for i in range(n_z):
+        for j in range(n_th):
+            a, b = vid(i, j), vid(i, j + 1)
+            c, d = vid(i + 1, j), vid(i + 1, j + 1)
+            F.append([a, b, d])
+            F.append([a, d, c])
+    write_stl(path, V, np.asarray(F, np.int64))
+    return R, L, A, zc
+
+
+def test_delaunay_sidewall_dome(tmp_path):
+    """Sidewall-aneurysm composite (VERDICT r3 #6): a tube+dome STL meshes
+    into a valid two-domain FSI mesh through the union winding core —
+    dome detection, vessel re-parameterization with the dome excluded,
+    dome-sheet extrusion along smoothed normals. Reference bar: vmtk's
+    mesh generator on arbitrary surfaces (vmtkmeshgeneratorfsi.py:137-426,
+    flagship clinical case simulations/aneurysm.py)."""
+    from vasp_tpu.preprocessing.delaunay_mesh import (
+        _nearest_station_radius, delaunay_fsi_mesh)
+    from vasp_tpu.preprocessing.surface_mesh import (
+        read_stl, surface_tube_parameterization)
+
+    stl = tmp_path / "dome_tube.stl"
+    R, L, A, zc = _dome_tube_stl(stl)
+
+    # the detector sees the dome
+    V, F = read_stl(stl)
+    centers, e1, e2, r = surface_tube_parameterization(V, F)
+    k_v, rad_v, rmed_v = _nearest_station_radius(V, centers, r)
+    assert (rad_v > 1.45 * rmed_v).sum() >= 20
+
+    m = delaunay_fsi_mesh(stl, edge_length=0.5)
+    assert set(np.unique(m.cell_markers)) == {1, 2}
+    assert set(np.unique(m.facet_markers)) == {2, 3, 11, 22, 33}
+    # watertight marking: every exterior facet carries a marker
+    fv, c0, l0, c1, l1 = m._facet_tables
+    n_ext = int((c1 < 0).sum())
+    assert int(np.isin(m.facet_markers, [2, 3, 11, 33]).sum()) == n_ext
+    # positively oriented cells
+    P = m.coords[m.cells]
+    v6 = np.einsum("ij,ij->i",
+                   np.cross(P[:, 1] - P[:, 0], P[:, 2] - P[:, 0]),
+                   P[:, 3] - P[:, 0])
+    assert (v6 > 0).all()
+    # the dome is really in the mesh: FSI-interface vertices reach into
+    # the dome head, and the solid outer wall wraps beyond it
+    rad = np.hypot(m.coords[:, 0], m.coords[:, 1])
+    iface_vs = np.unique(m.facets[m.facet_markers == 22])
+    outer_vs = np.unique(m.facets[m.facet_markers == 33])
+    assert rad[iface_vs].max() > R + 0.55 * A
+    assert rad[outer_vs].max() > rad[iface_vs].max()
+    # fluid cells fill the dome head (above the vessel radius band)
+    fluid_vs = np.unique(m.cells[m.cell_markers == 1])
+    assert rad[fluid_vs].max() > R + 0.4 * A
+
+
+def test_delaunay_dome_solver_step(tmp_path):
+    """One FSI solver step converges on a coarse dome-composite mesh
+    (VERDICT r3 #6 done-bar)."""
+    import jax.numpy as jnp
+
+    from vasp_tpu.fem.dirichlet import DirichletBC
+    from vasp_tpu.preprocessing.delaunay_mesh import delaunay_fsi_mesh
+    from vasp_tpu.run.system import FSISystem
+
+    stl = tmp_path / "dome_tube.stl"
+    _dome_tube_stl(stl, n_z=48, n_th=32)
+    mesh = delaunay_fsi_mesh(stl, edge_length=0.85, n_bl_fluid=1,
+                             n_r_solid=1, scale_factor=1e-3)
+    E, nu = 1e6, 0.45
+    mu_s = E / (2 * (1 + nu))
+    lam_s = nu * 2 * mu_s / (1 - 2 * nu)
+    cfg = dict(dt=0.001, theta=0.501, rho_f=1.0e3, mu_f=3.5e-3, dx_f_id=1,
+               rho_s=1e3, mu_s=mu_s, lambda_s=lam_s, dx_s_id=2,
+               material_model="StVenantKirchoff", extrapolation="laplace",
+               extrapolation_sub_type="constant", quadrature_degree=2,
+               atol=1e-7, rtol=1e-7, max_it=6, recompute=1,
+               recompute_tstep=1, linear_solver="lu", verbose=False,
+               raise_on_fail=False)
+    s = FSISystem(mesh, cfg)
+    space = s.space
+    bcs = []
+    for mk in (2, 3, 11):
+        bcs.append(DirichletBC(
+            space.field_dofs("d", space.p2_dofs_on_facets(mk)), 0.0))
+    for mk in (2, 11):
+        bcs.append(DirichletBC(
+            space.field_dofs("v", space.p2_dofs_on_facets(mk)), 0.0))
+    bc = s.make_bcset(bcs)
+    load = 50.0 * jnp.asarray(s.interface_pressure_load())
+    solver = s.make_solver(bc)
+    U0 = s.zero_state()
+    U, info = solver.solve(bc.apply(U0, 0.001), U0, t=0.001, tstep=1,
+                           load=load)
+    assert np.all(np.isfinite(np.asarray(U)))
+    assert info["converged"] or float(info["rel"]) < 1e-3, info
+
+
 @pytest.mark.skipif(not TUBE.exists(), reason="STL fixtures absent")
 def test_delaunay_cli(tmp_path):
     """`vasp-generate-mesh -i tube.stl --core delaunay` writes the full

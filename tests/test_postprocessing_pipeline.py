@@ -121,6 +121,12 @@ def test_hemodynamics_pipeline(postproc_chain):
     res1 = compute_hemodynamics(folder, chunk_steps=1)
     for name in ("TAWSS", "TWSSG", "OSI", "RRT", "ECAP"):
         assert np.allclose(res1[name], res[name], rtol=1e-12, atol=1e-300)
+    # multi-device: timesteps sharded over the 8 virtual devices (the
+    # reference's mpirun -np N postprocessing equivalent,
+    # compute_hemodynamics.py:376-377) match the single-device pass
+    res8 = compute_hemodynamics(folder, n_devices=8)
+    for name in ("TAWSS", "TWSSG", "OSI", "RRT", "ECAP"):
+        assert np.allclose(res8[name], res[name], rtol=1e-12, atol=1e-300)
 
 
 def test_config_roundtrip(postproc_chain):
@@ -156,6 +162,13 @@ def test_stress_strain_pipeline(postproc_chain):
     assert res["mps_avg"].max() > 0
     # strain magnitudes are small (tiny displacements)
     assert np.abs(res["mpe_avg"]).max() < 1e-2
+    # multi-device: timestep chunks sharded over the 8 virtual devices
+    # (the reference's MPI-parallel stress pass) match the stream
+    res8 = compute_stress_strain(folder, n_devices=8)
+    assert np.allclose(res8["mps_avg"], res["mps_avg"], rtol=1e-12,
+                       atol=1e-300)
+    assert np.allclose(res8["mpe_avg"], res["mpe_avg"], rtol=1e-12,
+                       atol=1e-300)
 
 
 def test_tensor_spectral_paths(postproc_chain):

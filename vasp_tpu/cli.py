@@ -82,8 +82,14 @@ def compute_hemo(argv=None):
         compute_hemodynamics,
     )
 
-    args = _folder_parser("vasp-compute-hemo").parse_args(argv)
-    compute_hemodynamics(args.folder, args.mesh_path)
+    def extra(p):
+        p.add_argument("--n-devices", type=int, default=None,
+                       help="shard timestep chunks over N devices (the "
+                            "reference's mpirun -np N postprocessing)")
+
+    args = _folder_parser("vasp-compute-hemo", extra).parse_args(argv)
+    compute_hemodynamics(args.folder, args.mesh_path,
+                         n_devices=args.n_devices)
     print(f"Hemodynamic indices written to "
           f"{Path(args.folder) / 'Hemodynamic_indices'}")
 
@@ -95,9 +101,13 @@ def compute_stress(argv=None):
 
     def extra(p):
         p.add_argument("--stride", type=int, default=1)
+        p.add_argument("--n-devices", type=int, default=None,
+                       help="shard timestep chunks over N devices (the "
+                            "reference's mpirun -np N postprocessing)")
 
     args = _folder_parser("vasp-compute-stress", extra).parse_args(argv)
-    compute_stress_strain(args.folder, args.mesh_path, stride=args.stride)
+    compute_stress_strain(args.folder, args.mesh_path, stride=args.stride,
+                          n_devices=args.n_devices)
     print(f"Stress/strain written to {Path(args.folder) / 'StressStrain'}")
 
 

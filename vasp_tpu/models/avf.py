@@ -12,7 +12,6 @@ import numpy as np
 from vasp_tpu.bcs.waveforms import CosineRamp
 from vasp_tpu.fem.dirichlet import DirichletBC
 from vasp_tpu.fem.measures import BoundaryMeasure, PointProbes
-from vasp_tpu.mesh.generate import fsi_tube_mesh
 from vasp_tpu.mesh.io import load_probe_points, read_vasp_mesh
 from vasp_tpu.mesh.markers import restrict_fsi_to_sphere
 from vasp_tpu.run.metrics import (
@@ -92,29 +91,62 @@ def get_mesh_domain_and_boundaries(mesh_path, fsi_region, fsi_id, rigid_id,
         mesh = read_vasp_mesh(mesh_path)
         return restrict_fsi_to_sphere(mesh, fsi_id, outer_id, rigid_id,
                                       fsi_region)
-    # self-contained default: a single tube re-marked into artery/vein halves
-    params = dict(r_inner=0.002, r_outer=0.0026, length=0.02,
-                  n_theta=10, n_r_fluid=2, n_r_solid=1, n_z=12)
-    params.update(namespace.get("generated_mesh_params") or {})
-    mesh = fsi_tube_mesh(**params)
-    # vein half: second axial half gets 1002/1022/1033/1011 ids
-    zmid = mesh.coords[:, 2].max() / 2
-    from vasp_tpu.mesh.markers import remark_cells, _with_markers
+    # self-contained default: a TRUE anastomosis (Y-junction) from the
+    # bifurcation mesher — vein trunk + two arterial branches, matching the
+    # reference's patient AVF topology (reference avf.py:55-80: two inlets
+    # PA/DA, one venous outlet, per-branch solid domains artery 2 /
+    # vein 1002 from the vmtk branch-clipping contract,
+    # vmtkmeshgeneratorfsi.py:255-316)
+    from vasp_tpu.mesh.markers import _with_markers
+    from vasp_tpu.preprocessing.bifurcation import (bifurcation_fsi_mesh,
+                                                    template_specs)
 
-    mesh = remark_cells(mesh, 2, 1002, lambda x, y, z: z > zmid)
+    params = dict(r_parent=0.002, r_d1=0.0016, r_d2=0.0016,
+                  l_parent=0.008, l_daughter=0.008, angle_deg=35.0,
+                  m=4, n_parent=4, n_daughter=6, n_r_solid=1,
+                  thickness_frac=0.25)
+    user = dict(namespace.get("generated_mesh_params") or {})
+    # legacy tube-surrogate knobs map onto the Y resolution
+    if "n_theta" in user:
+        params["m"] = max(4, int(user.pop("n_theta")) // 2)
+    if "n_z" in user:
+        nz = int(user.pop("n_z"))
+        params["n_parent"] = max(3, nz // 2)
+        params["n_daughter"] = max(4, nz // 2 + 2)
+    user.pop("n_r_fluid", None)
+    user.pop("r_inner", None)
+    user.pop("r_outer", None)
+    user.pop("length", None)
+    params.update(user)
+    spec_keys = ("r_parent", "r_d1", "r_d2", "l_parent", "l_daughter",
+                 "angle_deg")
+    parent, d1, d2 = template_specs(**{k: params[k] for k in spec_keys})
+    mesh = bifurcation_fsi_mesh(
+        parent, d1, d2, m=params["m"], n_parent=params["n_parent"],
+        n_daughter=params["n_daughter"], n_r_solid=params["n_r_solid"],
+        thickness_frac=params["thickness_frac"])
+    z_j = float(params["l_parent"])  # junction z (template parent is +z)
+
+    # AVF orientation: the PARENT trunk is the VEIN (outflow), the two
+    # daughters are the arteries (PA/DA inflow). Remap the Y markers:
+    #   parent end-cap 2 -> venous outlet 4; daughter caps 3 -> PA inlet 3
+    #   (x<0 branch) / DA inlet 2 (x>0 branch); vein-side solid cells and
+    #   22/33/11 facets get the +1000 branch family.
+    cm = mesh.cell_markers.copy()
+    ccent = mesh.coords[mesh.cells].mean(axis=1)
+    cm[(cm == 2) & (ccent[:, 2] < z_j)] = 1002
     fm = mesh.facet_markers.copy()
-    cent = mesh.coords[mesh.facets].mean(axis=1)
-    upper = cent[:, 2] > zmid
+    fcent = mesh.coords[mesh.facets].mean(axis=1)
+    vein_side = fcent[:, 2] < z_j
     for base, shifted in ((22, 1022), (33, 1033), (11, 1011)):
-        fm[(mesh.facet_markers == base) & upper] = shifted
-    # two inlets + one outlet on the straight surrogate: the z=0 disk is
-    # split into PA (x>0 -> id 3) and DA (x<0 -> id 2) halves; z=L disk
-    # becomes the venous outlet (id 4)
-    fm[(mesh.facet_markers == 3)] = 4
-    fm[(mesh.facet_markers == 2) & (cent[:, 0] > 0)] = 3
-    mesh = _with_markers(mesh, facet_markers=fm)
-    # default AVF sphere: middle of the vessel
-    sphere = [0.0, 0.0, zmid, 0.006]
+        fm[(mesh.facet_markers == base) & vein_side] = shifted
+    fm[mesh.facet_markers == 2] = 4
+    is_out = mesh.facet_markers == 3
+    fm[is_out & (fcent[:, 0] < 0)] = 3
+    fm[is_out & (fcent[:, 0] >= 0)] = 2
+    mesh = _with_markers(mesh, cell_markers=cm, facet_markers=fm)
+    # default AVF sphere: the anastomosis junction
+    sphere = [0.0, 0.0, z_j, 2.5 * params["r_parent"]]
     return restrict_fsi_to_sphere(mesh, fsi_id, outer_id, rigid_id, sphere)
 
 

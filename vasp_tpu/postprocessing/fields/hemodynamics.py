@@ -121,9 +121,16 @@ class FluidBoundaryTables:
                            shape=(len(self.bnodes),) * 2).tocsc()
         self._mass_lu = spla.splu(Mb)
 
-    def wss_series(self, u_series, cell_dofs_p2, mu_f):
+    def wss_series(self, u_series, cell_dofs_p2, mu_f, device_mesh=None):
         """u_series (T, n_p2, 3) full-mesh P2 velocity -> nodal WSS vectors
-        (T, n_bnodes, 3) on the fluid boundary."""
+        (T, n_bnodes, 3) on the fluid boundary.
+
+        device_mesh: a 1-axis jax.sharding.Mesh ("t",) — the chunk's
+        timesteps are SHARDED across its devices (each device assembles
+        its own timesteps' WSS loads; embarrassingly parallel over time).
+        This is the reference's MPI-parallel postprocessing axis
+        (reference: compute_hemodynamics.py:376-377) mapped to the natural
+        TPU batch dimension."""
         G2 = jnp.asarray(self.G2)
         dofs = jnp.asarray(cell_dofs_p2[self.cells])  # (K,10)
         n = jnp.asarray(self.normals)
@@ -145,6 +152,23 @@ class FluidBoundaryTables:
             out = jnp.zeros((m.shape[0], 3))
             return out.at[fb.reshape(-1)].add(b.reshape(-1, 3))
 
+        if device_mesh is not None and device_mesh.devices.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            nd = int(device_mesh.devices.size)
+            Tc = len(u_series)
+            pad = (-Tc) % nd
+            u_batch = np.asarray(u_series)
+            if pad:
+                u_batch = np.concatenate(
+                    [u_batch, np.repeat(u_batch[-1:], pad, axis=0)], axis=0)
+            sh = NamedSharding(device_mesh, P("t"))
+            batched = jax.jit(jax.vmap(one_step), in_shardings=sh,
+                              out_shardings=sh)
+            loads = np.asarray(batched(jnp.asarray(u_batch)))[:Tc]
+            return jnp.stack([
+                jnp.asarray(self._mass_lu.solve(b)) for b in loads])
+
         one_step = jax.jit(one_step)
         # device: assemble the load; host: consistent boundary-mass solve
         # (small SPD factor, reused across timesteps like the reference's
@@ -157,7 +181,7 @@ class FluidBoundaryTables:
 
 
 def compute_hemodynamics(folder, mesh_path=None, quad_degree=2,
-                         chunk_steps=None):
+                         chunk_steps=None, n_devices=None):
     """Main entry (vasp-compute-hemo equivalent).
 
     The time series is STREAMED in chunks of `chunk_steps` timesteps
@@ -166,7 +190,12 @@ def compute_hemodynamics(folder, mesh_path=None, quad_degree=2,
     lookback, so memory is O(chunk x ndof) regardless of T — the
     scalable analogue of the reference's MPI-parallel postprocessing
     (reference compute_hemodynamics.py:376-377), sized for the
-    1M-dof x 30k-step production case a single host can't hold."""
+    1M-dof x 30k-step production case a single host can't hold.
+
+    n_devices > 1 shards each chunk's timesteps across a ("t",) device
+    mesh (multi-chip WSS assembly — the MPI-parallel postproc equivalent;
+    results are bitwise identical to the single-device pass, asserted in
+    tests/test_postprocessing_pipeline.py)."""
     folder = Path(folder)
     params = read_parameters_from_file(folder) or {}
     mu_f = params.get("mu_f", 1.0)
@@ -197,9 +226,18 @@ def compute_hemodynamics(folder, mesh_path=None, quad_degree=2,
     w_wss = VizWriter(out_dir, "WSS", coords, tris, vector=True,
                       cell_type="Triangle")
 
+    device_mesh = None
+    if n_devices is not None and int(n_devices) > 1:
+        from jax.sharding import Mesh
+
+        devs = jax.devices()[:int(n_devices)]
+        device_mesh = Mesh(np.array(devs), ("t",))
     if chunk_steps is None:
         # ~0.5 GB of f64 velocity rows per chunk
         chunk_steps = max(1, int(2.2e7 / max(n_p2, 1)))
+    if device_mesh is not None:
+        # at least one timestep per device per chunk
+        chunk_steps = max(chunk_steps, int(device_mesh.devices.size))
     nb = len(tables.bnodes)
     sum_taumag = np.zeros(nb)
     sum_tau = np.zeros((nb, 3))
@@ -215,7 +253,8 @@ def compute_hemodynamics(folder, mesh_path=None, quad_degree=2,
             for i, k in enumerate(range(k0, k1)):
                 u_series[i, ids] = f[f"velocity/vector_{k}"][:]
             tau = np.asarray(tables.wss_series(
-                u_series, space.cell_dofs_p2, mu_f))
+                u_series, space.cell_dofs_p2, mu_f,
+                device_mesh=device_mesh))
             for i, k in enumerate(range(k0, k1)):
                 w_wss.write(tau[i], float(times[k]))
             sum_taumag += np.linalg.norm(tau, axis=2).sum(axis=0)

@@ -59,7 +59,11 @@ def _normalize_solid_props(params):
     return out
 
 
-def compute_stress_strain(folder, mesh_path=None, stride=1):
+def compute_stress_strain(folder, mesh_path=None, stride=1, n_devices=None):
+    """n_devices > 1 shards chunks of timesteps across a ("t",) device
+    mesh (multi-chip stress/strain — the reference's MPI-parallel
+    postprocessing equivalent, compute_stress_strain.py under mpirun;
+    bitwise identical to the single-device stream)."""
     folder = Path(folder)
     params = read_parameters_from_file(folder) or {}
     mesh_path = Path(mesh_path) if mesh_path else folder / "Mesh" / "mesh.h5"
@@ -151,7 +155,6 @@ def compute_stress_strain(folder, mesh_path=None, stride=1):
         for name in ("TrueStress", "GreenLagrangeStrain")
     }
 
-    eig_vmapped = jax.jit(jax.vmap(jax.vmap(get_eig)))
     mps_sum = np.zeros(nv)
     mpe_sum = np.zeros(nv)
 
@@ -160,53 +163,84 @@ def compute_stress_strain(folder, mesh_path=None, stride=1):
     Gj = jnp.asarray(G)
     dofs_j = jnp.asarray(dofs)
 
-    @jax.jit
-    def step_fields(d):
+    def one_step_full(d):
+        """(n_p2, 3) displacement -> (sig, eps, mps, mpe) for all solid
+        cells (subdomain material kernels applied segment-wise)."""
         de = d[dofs_j]  # (K,10,3)
         gd = jnp.einsum("kai,kqaj->kqij", de, Gj)  # (K,4,3,3)
-        return gd
-
-    # STREAM the displacement series one step at a time: O(ndof) memory
-    # regardless of T (the reference postprocesses under MPI for the same
-    # reason, compute_stress_strain.py; a 1M-dof x 30k-step series cannot
-    # be materialized on one host)
-    d_step = np.zeros((n_p2, 3))
-    f_d = h5py.File(d_file, "r")
-    for k, t in enumerate(times):
-        d_step[:] = 0.0
-        d_step[ids] = f_d[f"displacement/vector_{steps[k]}"][:]
-        gd = step_fields(jnp.asarray(d_step))
-        sig = np.zeros((len(solid_cells), 4, 3, 3))
-        eps = np.zeros_like(sig)
+        sigs, epss = [], []
         off = 0
         for sel, kern in zip(all_sel, kernels):
             s, e = kern(gd[off:off + len(sel)])
-            sig[off:off + len(sel)] = np.asarray(s)
-            eps[off:off + len(sel)] = np.asarray(e)
+            sigs.append(s)
+            epss.append(e)
             off += len(sel)
-        mps = np.asarray(eig_vmapped(jnp.asarray(sig)))  # (K,4)
-        mpe = np.asarray(eig_vmapped(jnp.asarray(eps)))
+        sig = jnp.concatenate(sigs, axis=0)
+        eps = jnp.concatenate(epss, axis=0)
+        mps = jax.vmap(jax.vmap(get_eig))(sig)
+        mpe = jax.vmap(jax.vmap(get_eig))(eps)
+        return sig, eps, mps, mpe
 
-        # collapse DG1 -> vertex values (average of adjacent cells)
-        def to_nodes(vals):
-            out = np.zeros(nv)
-            cnt = np.zeros(nv)
-            np.add.at(out, out_cells.ravel(), vals.ravel())
-            np.add.at(cnt, out_cells.ravel(), 1.0)
-            return out / np.maximum(cnt, 1.0)
+    device_mesh = None
+    if n_devices is not None and int(n_devices) > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-        mps_n = to_nodes(mps)
-        mpe_n = to_nodes(mpe)
-        # DG1 per-(cell,vertex) values, flat — max-principal scalars and
-        # FULL 9-component tensors (row-major per point)
-        writers["MaxPrincipalStress"].write(mps.reshape(-1), float(t))
-        writers["MaxPrincipalStrain"].write(mpe.reshape(-1), float(t))
-        tensor_writers["TrueStress"].write(
-            sig.reshape(-1, 9).reshape(-1), float(t))
-        tensor_writers["GreenLagrangeStrain"].write(
-            eps.reshape(-1, 9).reshape(-1), float(t))
-        mps_sum += mps_n
-        mpe_sum += mpe_n
+        devs = jax.devices()[:int(n_devices)]
+        device_mesh = Mesh(np.array(devs), ("t",))
+        sh = NamedSharding(device_mesh, P("t"))
+        nd = int(device_mesh.devices.size)
+        chunk = nd * max(1, int(2.2e7 / max(n_p2, 1)))
+        batched = jax.jit(jax.vmap(one_step_full), in_shardings=sh,
+                          out_shardings=sh)
+    else:
+        chunk = 1
+        one_jit = jax.jit(one_step_full)
+
+    # collapse DG1 -> vertex values (average of adjacent cells)
+    def to_nodes(vals):
+        out = np.zeros(nv)
+        cnt = np.zeros(nv)
+        np.add.at(out, out_cells.ravel(), vals.ravel())
+        np.add.at(cnt, out_cells.ravel(), 1.0)
+        return out / np.maximum(cnt, 1.0)
+
+    # STREAM the displacement series `chunk` steps at a time: O(chunk x
+    # ndof) memory regardless of T (the reference postprocesses under MPI
+    # for the same reason, compute_stress_strain.py; a 1M-dof x 30k-step
+    # series cannot be materialized on one host). Multi-device chunks are
+    # padded to a fixed shape (one compiled program) and sharded over "t".
+    f_d = h5py.File(d_file, "r")
+    for c0 in range(0, len(times), chunk):
+        c1 = min(c0 + chunk, len(times))
+        d_chunk = np.zeros((c1 - c0, n_p2, 3))
+        for i, k in enumerate(range(c0, c1)):
+            d_chunk[i, ids] = f_d[f"displacement/vector_{steps[k]}"][:]
+        if device_mesh is not None:
+            pad = chunk - (c1 - c0)
+            if pad:
+                d_chunk = np.concatenate(
+                    [d_chunk, np.repeat(d_chunk[-1:], pad, axis=0)], axis=0)
+            sig_c, eps_c, mps_c, mpe_c = (
+                np.asarray(a)[:c1 - c0]
+                for a in batched(jnp.asarray(d_chunk)))
+        else:
+            s, e, mp, me = one_jit(jnp.asarray(d_chunk[0]))
+            sig_c, eps_c = np.asarray(s)[None], np.asarray(e)[None]
+            mps_c, mpe_c = np.asarray(mp)[None], np.asarray(me)[None]
+        for i, k in enumerate(range(c0, c1)):
+            t = times[k]
+            sig, eps = sig_c[i], eps_c[i]
+            mps, mpe = mps_c[i], mpe_c[i]
+            # DG1 per-(cell,vertex) values, flat — max-principal scalars
+            # and FULL 9-component tensors (row-major per point)
+            writers["MaxPrincipalStress"].write(mps.reshape(-1), float(t))
+            writers["MaxPrincipalStrain"].write(mpe.reshape(-1), float(t))
+            tensor_writers["TrueStress"].write(
+                sig.reshape(-1, 9).reshape(-1), float(t))
+            tensor_writers["GreenLagrangeStrain"].write(
+                eps.reshape(-1, 9).reshape(-1), float(t))
+            mps_sum += to_nodes(mps)
+            mpe_sum += to_nodes(mpe)
     f_d.close()
 
     avg_writers = {

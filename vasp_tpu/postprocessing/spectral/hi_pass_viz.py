@@ -27,12 +27,42 @@ _FIELD_FILE = {"v": "velocity", "d": "displacement", "p": "pressure"}
 _DEFAULT_RMS_WINDOW = {"v": 250, "d": 250, "p": 250, "strain": 50}
 
 
+def _apply_filter(mat, fs, lowcut, highcut, filter_type, bands):
+    """Butterworth filter rows of (rows, T): single band or the multiband
+    pass/stop list (reference: create_hi_pass_viz.py:532-545)."""
+    if bands:
+        out = np.zeros_like(mat)
+        for (lo, hi, btype) in bands:
+            if btype == "pass":
+                out += spec.butter_bandpass_filter(
+                    mat, lowcut=lo, highcut=hi, fs=fs, order=6, btype="band")
+            else:
+                out = spec.butter_bandpass_filter(
+                    out, lowcut=lo, highcut=hi, fs=fs, order=6, btype="stop")
+        return out
+    highcut_eff = min(highcut, 0.5 * fs * 0.999)
+    btype = "band" if filter_type in ("bandpass", "band") else filter_type
+    if btype == "band" and highcut_eff >= 0.5 * fs * 0.99:
+        btype = "highpass"
+    return spec.butter_bandpass_filter(mat, lowcut=lowcut,
+                                       highcut=highcut_eff, fs=fs, order=6,
+                                       btype=btype)
+
+
 def create_hi_pass_viz(folder, quantity="d", lowcut=25.0, highcut=100000.0,
                        filter_type="bandpass", mesh_path=None,
                        bands=None, amplitude=True, start_t=None, end_t=None,
-                       stride=1):
+                       stride=1, node_chunk=None):
     """Filter the node x time series of `quantity` and write
-    Visualization_hi_pass/<q>_<low>_to_<high>.{h5,xdmf} (+ amplitude)."""
+    Visualization_hi_pass/<q>_<low>_to_<high>.{h5,xdmf} (+ amplitude).
+
+    Streaming: the series is pivoted into an on-disk (rows, T) memmap in
+    time-chunks, filtfilt runs per `node_chunk` rows (default sized to
+    ~0.5 GB), and outputs are written per timestep from memmap columns —
+    host memory stays O(chunk) regardless of nodes x timesteps (the same
+    chunked pattern as fields/hemodynamics.py; the reference flags this
+    stage as the memory bottleneck,
+    reference: postprocessing_h5py_common.py:154 region)."""
     import h5py
 
     folder = Path(folder)
@@ -42,7 +72,7 @@ def create_hi_pass_viz(folder, quantity="d", lowcut=25.0, highcut=100000.0,
 
     if quantity == "strain":
         return _create_hi_pass_strain(folder, lowcut, highcut, bands,
-                                      start_t, end_t, stride)
+                                      start_t, end_t, stride, node_chunk)
 
     mesh = read_vasp_mesh(mesh_path)
     out_mesh = refine_uniform(mesh) if save_deg == 2 else mesh
@@ -51,87 +81,95 @@ def create_hi_pass_viz(folder, quantity="d", lowcut=25.0, highcut=100000.0,
     name = _FIELD_FILE[quantity]
     h5s, times, idxs = output_file_lists(viz / f"{name}.xdmf")
     times = np.asarray(times)
-    arrays = []
+    T = len(times)
+    fs = 1.0 / np.mean(np.diff(times)) if len(times) > 1 else 1.0
+
+    out_dir = folder / "Visualization_hi_pass"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    tag = f"{quantity}_{int(lowcut)}_to_{int(highcut)}"
+
+    # ---- pivot (T, N, c) h5 series -> on-disk (N*c, T) memmap, time-chunked
     cache = {}
     try:
-        for h5name, idx in zip(h5s, idxs):
-            if h5name not in cache:
-                cache[h5name] = h5py.File(viz / h5name, "r")
-            arrays.append(cache[h5name][f"VisualisationVector/{idx}"][:])
+        f0 = h5py.File(viz / h5s[0], "r")
+        cache[h5s[0]] = f0
+        shape0 = f0[f"VisualisationVector/{idxs[0]}"].shape
+        vector = len(shape0) == 2 and shape0[1] == 3
+        ncomp = shape0[1] if len(shape0) == 2 else 1
+        nrows = shape0[0] * ncomp
+        flat = np.lib.format.open_memmap(
+            out_dir / f".{tag}_pivot.npy", mode="w+", dtype=np.float64,
+            shape=(nrows, T))
+        tchunk = max(1, int(6e7 / max(nrows, 1)))
+        for k0 in range(0, T, tchunk):
+            k1 = min(k0 + tchunk, T)
+            block = []
+            for h5name, idx in zip(h5s[k0:k1], idxs[k0:k1]):
+                if h5name not in cache:
+                    cache[h5name] = h5py.File(viz / h5name, "r")
+                block.append(cache[h5name][f"VisualisationVector/{idx}"][:])
+            flat[:, k0:k1] = np.stack(block, axis=0).reshape(k1 - k0, -1).T
     finally:
         for f in cache.values():
             f.close()
-    series = np.stack(arrays, axis=0)  # (T, N, c) or (T, N)
-    fs = 1.0 / np.mean(np.diff(times)) if len(times) > 1 else 1.0
 
-    flat = series.reshape(len(times), -1).T  # (N*c, T)
-    if bands:
-        # multiband pass/stop list (reference: create_hi_pass_viz.py:532-545)
-        filtered = np.zeros_like(flat)
-        for (lo, hi, btype) in bands:
-            if btype == "pass":
-                filtered += spec.butter_bandpass_filter(
-                    flat, lowcut=lo, highcut=hi, fs=fs, order=6, btype="band"
-                )
-            else:
-                filtered = spec.butter_bandpass_filter(
-                    filtered, lowcut=lo, highcut=hi, fs=fs, order=6,
-                    btype="stop",
-                )
-    else:
-        highcut_eff = min(highcut, 0.5 * fs * 0.999)
-        btype = "band" if filter_type in ("bandpass", "band") else filter_type
-        if btype == "band" and highcut_eff >= 0.5 * fs * 0.99:
-            btype = "highpass"
-        filtered = spec.butter_bandpass_filter(
-            flat, lowcut=lowcut, highcut=highcut_eff, fs=fs, order=6,
-            btype=btype,
-        )
-    filtered_series = filtered.T.reshape(series.shape)
+    # ---- filter + windowed RMS per node-chunk
+    filtered = np.lib.format.open_memmap(
+        out_dir / f".{tag}_filtered.npy", mode="w+", dtype=np.float64,
+        shape=(nrows, T))
+    window = min(_DEFAULT_RMS_WINDOW.get(quantity, 250), T)
+    rms = (np.lib.format.open_memmap(
+        out_dir / f".{tag}_rms.npy", mode="w+", dtype=np.float64,
+        shape=(nrows, T)) if amplitude else None)
+    if node_chunk is None:
+        node_chunk = max(1, int(6e7 / max(T, 1)))
+    for n0 in range(0, nrows, node_chunk):
+        n1 = min(n0 + node_chunk, nrows)
+        fchunk = _apply_filter(np.asarray(flat[n0:n1]), fs, lowcut, highcut,
+                               filter_type, bands)
+        filtered[n0:n1] = fchunk
+        if amplitude:
+            rms[n0:n1] = spec.calculate_windowed_rms(fchunk, window, axis=-1)
 
-    out_dir = folder / "Visualization_hi_pass"
-    tag = f"{quantity}_{int(lowcut)}_to_{int(highcut)}"
-    vector = series.ndim == 3
+    # ---- write outputs per timestep from memmap columns
+    series_shape = (shape0[0], ncomp) if len(shape0) == 2 else (nrows,)
     writer = VizWriter(out_dir, tag, out_mesh.coords, out_mesh.cells,
                        vector=vector)
     for k, t in enumerate(times):
-        writer.write(filtered_series[k], float(t))
+        writer.write(filtered[:, k].reshape(series_shape), float(t))
 
-    results = dict(filtered=filtered_series, times=times)
+    results = dict(filtered=filtered, times=times)
     if amplitude:
-        window = _DEFAULT_RMS_WINDOW.get(quantity, 250)
-        window = min(window, len(times))
-        rms = spec.calculate_windowed_rms(filtered, window, axis=-1)
-        rms_series = rms.T.reshape(series.shape)
         # amplitude of vectors: RMS of the magnitude-equivalent (per
         # component then norm)
         amp_writer = VizWriter(out_dir, f"{tag}_amplitude", out_mesh.coords,
                                out_mesh.cells, vector=vector)
-        for k, t in enumerate(times):
-            amp_writer.write(rms_series[k], float(t))
-        # percentile CSV (reference L370-416)
-        if vector:
-            amp_mag = np.linalg.norm(rms_series, axis=2)
-        else:
-            amp_mag = rms_series
         pcts = [5, 25, 50, 75, 95, 99]
-        table = np.column_stack(
-            [times] + [np.percentile(amp_mag, p, axis=1) for p in pcts]
-        )
+        table = np.zeros((T, 1 + len(pcts)))
+        for k, t in enumerate(times):
+            col = rms[:, k].reshape(series_shape)
+            amp_writer.write(col, float(t))
+            amp_mag = (np.linalg.norm(col, axis=1) if vector
+                       else col.reshape(-1))
+            table[k, 0] = t
+            table[k, 1:] = np.percentile(amp_mag, pcts)
+        # percentile CSV (reference L370-416)
         np.savetxt(out_dir / f"{tag}_amplitude_percentiles.csv", table,
                    delimiter=",",
                    header="time," + ",".join(f"p{p}" for p in pcts))
-        results["amplitude"] = rms_series
+        results["amplitude"] = rms
+    (out_dir / f".{tag}_pivot.npy").unlink()
     return results
 
 
 def _create_hi_pass_strain(folder, lowcut, highcut, bands, start_t, end_t,
-                           stride):
+                           stride, node_chunk=None):
     """Strain band-pass: filter the 6 distinct Green-Lagrange components,
     windowed-RMS their amplitudes, reassemble the symmetric amplitude
     tensor, and take its max-principal value per DG point — the reference's
     strain quantity (reference: create_hi_pass_viz.py:295-325; RMS window
-    50, L222-228)."""
+    50, L222-228). Filtering and the eigen pass run per node-chunk against
+    the pivot's on-disk memmaps, so memory is O(chunk x T)."""
     import jax
     import jax.numpy as jnp
 
@@ -152,63 +190,63 @@ def _create_hi_pass_strain(folder, lowcut, highcut, bands, start_t, end_t,
     cells = di["mesh/topology"]
     K = len(cells)
     fs = 1.0 / np.mean(np.diff(times)) if len(times) > 1 else 1.0
-
-    def filt(mat):
-        if bands:
-            out = np.zeros_like(mat)
-            for (lo, hi, btype) in bands:
-                if btype == "pass":
-                    out += spec.butter_bandpass_filter(
-                        mat, lowcut=lo, highcut=hi, fs=fs, order=6,
-                        btype="band")
-                else:
-                    out = spec.butter_bandpass_filter(
-                        out, lowcut=lo, highcut=hi, fs=fs, order=6,
-                        btype="stop")
-            return out
-        hi_eff = min(highcut, 0.5 * fs * 0.999)
-        btype = "band" if hi_eff < 0.5 * fs * 0.99 else "highpass"
-        return spec.butter_bandpass_filter(mat, lowcut=lowcut,
-                                           highcut=hi_eff, fs=fs, order=6,
-                                           btype=btype)
-
-    window = min(_DEFAULT_RMS_WINDOW["strain"], len(times))
-    filtered = {c: filt(m) for c, m in comps.items()}  # (Npts, T) each
-    rms = {c: spec.calculate_windowed_rms(m, window, axis=-1)
-           for c, m in filtered.items()}
-
-    # symmetric amplitude tensor per (point, time) -> max principal value
-    npts, T = rms["11"].shape
-    A = np.zeros((npts, T, 3, 3))
-    for cname, slot in _TENSOR_SLOTS.items():
-        i, j = divmod(slot, 3)
-        A[:, :, i, j] = rms[cname]
-        A[:, :, j, i] = rms[cname]
-    eig = jax.jit(jax.vmap(jax.vmap(get_eig)))
-    mps_amp = np.asarray(eig(jnp.asarray(A)))  # (Npts, T)
+    npts, T = comps["11"].shape
+    window = min(_DEFAULT_RMS_WINDOW["strain"], T)
 
     out_dir = folder / "Visualization_hi_pass"
+    out_dir.mkdir(parents=True, exist_ok=True)
     tag = f"strain_{int(lowcut)}_to_{int(highcut)}"
+    filtered = {c: np.lib.format.open_memmap(
+        out_dir / f".{tag}_f{c}.npy", mode="w+", dtype=np.float64,
+        shape=(npts, T)) for c in _TENSOR_SLOTS}
+    mps_amp = np.lib.format.open_memmap(
+        out_dir / f".{tag}_mps.npy", mode="w+", dtype=np.float64,
+        shape=(npts, T))
+    eig = jax.jit(jax.vmap(jax.vmap(get_eig)))
+    if node_chunk is None:
+        node_chunk = max(1, int(6e7 / max(T, 1)))
+    for n0 in range(0, npts, node_chunk):
+        n1 = min(n0 + node_chunk, npts)
+        rms = {}
+        for c in _TENSOR_SLOTS:
+            fchunk = _apply_filter(np.asarray(comps[c][n0:n1]), fs, lowcut,
+                                   highcut, "bandpass", bands)
+            filtered[c][n0:n1] = fchunk
+            rms[c] = spec.calculate_windowed_rms(fchunk, window, axis=-1)
+        # symmetric amplitude tensor per (point, time) -> max principal
+        A = np.zeros((n1 - n0, T, 3, 3))
+        for cname, slot in _TENSOR_SLOTS.items():
+            i, j = divmod(slot, 3)
+            A[:, :, i, j] = rms[cname]
+            A[:, :, j, i] = rms[cname]
+        mps_amp[n0:n1] = np.asarray(eig(jnp.asarray(A)))
+
     # filtered tensor series (checkpoint layout, full 9 components) and the
-    # max-principal amplitude series
+    # max-principal amplitude series, assembled per timestep from the
+    # component memmap columns
     wt = CheckpointSeriesWriter(out_dir, tag, coords, cells, ncomp=9,
                                 cell_dofs=np.arange(K * 36).reshape(K, 36))
     wa = CheckpointSeriesWriter(out_dir, f"{tag}_amplitude", coords, cells,
                                 ncomp=1,
                                 cell_dofs=np.arange(K * 4).reshape(K, 4))
-    full = np.zeros((npts, T, 9))
-    for cname, slot in _TENSOR_SLOTS.items():
-        i, j = divmod(slot, 3)
-        full[:, :, 3 * i + j] = filtered[cname]
-        full[:, :, 3 * j + i] = filtered[cname]
     for k, t in enumerate(times):
-        wt.write(full[:, k, :].reshape(-1), float(t))
+        full_k = np.zeros((npts, 9))
+        for cname, slot in _TENSOR_SLOTS.items():
+            i, j = divmod(slot, 3)
+            col = filtered[cname][:, k]
+            full_k[:, 3 * i + j] = col
+            full_k[:, 3 * j + i] = col
+        wt.write(full_k.reshape(-1), float(t))
         wa.write(mps_amp[:, k], float(t))
 
     pcts = [5, 25, 50, 75, 95, 99]
-    table = np.column_stack(
-        [times] + [np.percentile(mps_amp, p, axis=0) for p in pcts])
+    table = np.zeros((T, 1 + len(pcts)))
+    for k, t in enumerate(times):
+        table[k, 0] = t
+        table[k, 1:] = np.percentile(mps_amp[:, k], pcts)
     np.savetxt(out_dir / f"{tag}_amplitude_percentiles.csv", table,
                delimiter=",",
                header="time," + ",".join(f"p{p}" for p in pcts))
+    for c in _TENSOR_SLOTS:
+        (out_dir / f".{tag}_f{c}.npy").unlink()
     return dict(times=times, amplitude=mps_amp)

@@ -39,16 +39,40 @@ _CKPT_FILE = {"wss": ("Hemodynamic_indices", "WSS"),
 _TENSOR_SLOTS = {"11": 0, "12": 1, "22": 4, "23": 5, "33": 8, "31": 6}
 
 
+def _write_npz_streaming(path, entries):
+    """savez_compressed equivalent that streams each array into the zip in
+    bounded-memory chunks (np.lib.format.write_array buffers ~64 MB at a
+    time when the sink is not a raw file), so a node x time matrix larger
+    than host RAM can still be written. entries: [(key, array-like), ...]."""
+    import zipfile
+
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED,
+                         allowZip64=True) as zf:
+        for key, arr in entries:
+            with zf.open(key + ".npy", "w", force_zip64=True) as fp:
+                np.lib.format.write_array(fp, np.asanyarray(arr),
+                                          allow_pickle=False)
+
+
 def create_transformed_matrix(folder, quantity="v", start_t=None, end_t=None,
-                              stride=1, out_folder=None):
+                              stride=1, out_folder=None, chunk_steps=None):
     """Read the output series of `quantity` and save node x time matrices
     per component as compressed npz — THE pivot op of the spectral stack
     (reference: postprocessing_h5py_common.py:154-409).
 
+    The series is STREAMED in chunks of `chunk_steps` timesteps (default
+    auto-sized to ~0.5 GB of rows) into per-component on-disk memmaps
+    (`<q>_<comp>.npy`), then stream-compressed into the reference's npz
+    contract — memory stays O(chunk x nodes) regardless of T, the same
+    chunked pattern as fields/hemodynamics.py (the reference itself flags
+    this stage as the memory bottleneck,
+    reference: postprocessing_h5py_common.py:154 region). The .npy memmaps
+    are kept next to the npz as a zero-copy read path for samplers.
+
     quantity: 'v'|'d'|'p' (Visualization series), 'wss' (hemodynamics WSS
     time series), 'mps' (max principal strain, DG1 scalar), 'stress'|'strain'
     (full DG1 tensors -> the 6 distinct components 11,12,22,23,33,31).
-    Returns (dict comp->array, times, npz folder)."""
+    Returns (dict comp->memmap, times, npz folder)."""
     folder = Path(folder)
     if quantity in _FIELD_FILE:
         viz = folder / "Visualization"
@@ -76,49 +100,79 @@ def create_transformed_matrix(folder, quantity="v", start_t=None, end_t=None,
         if np.abs(dts - dts[0]).max() > 1e-8:
             print("WARNING : Uneven temporal spacing detected")
 
-    arrays = []
+    out = Path(out_folder) if out_folder else folder / f"npz_{quantity}"
+    out.mkdir(parents=True, exist_ok=True)
     dof_info = None
     cache = {}
+    memmaps = None
+    T_sel = len(sel)
     try:
-        for i in sel:
-            if h5s[i] not in cache:
-                cache[h5s[i]] = h5py.File(viz / h5s[i], "r")
-            arrays.append(cache[h5s[i]][fmt.format(idxs[i])][:])
+        # probe the first selected dataset for shape/component layout
+        i0 = sel[0]
+        cache[h5s[i0]] = h5py.File(viz / h5s[i0], "r")
+        first = cache[h5s[i0]][fmt.format(idxs[i0])]
+        shape = first.shape
+        tensor = quantity in ("stress", "strain")
+        if tensor:
+            cnames = list(_TENSOR_SLOTS)
+            nrows = int(np.prod(shape)) // 9
+        elif len(shape) == 2 and shape[1] == 3:
+            cnames = ["x", "y", "z", "mag"]
+            nrows = shape[0]
+        else:
+            cnames = ["mag"]
+            nrows = int(np.prod(shape))
+        memmaps = {c: np.lib.format.open_memmap(
+            out / f"{quantity}_{c}.npy", mode="w+", dtype=np.float64,
+            shape=(nrows, T_sel)) for c in cnames}
+
         if quantity in _CKPT_FILE and "FiniteElementFunction" in xdmf:
             # dof metadata for downstream tensor reassembly (reference
             # saves these as dof_info pickles, common.py:401-406)
-            f0 = cache[h5s[sel[0]]]
-            g0 = f0[f"{name}/{name}_0"]
+            g0 = cache[h5s[i0]][f"{name}/{name}_0"]
             dof_info = {k: np.asarray(g0[k][:]) for k in
                         ("cell_dofs", "cells", "x_cell_dofs")}
             dof_info["mesh/geometry"] = np.asarray(g0["mesh/geometry"][:])
             dof_info["mesh/topology"] = np.asarray(g0["mesh/topology"][:])
+
+        if chunk_steps is None:
+            # ~0.5 GB of f64 rows per chunk
+            per_step = max(int(np.prod(shape)), 1)
+            chunk_steps = max(1, int(6e7 / per_step))
+        for j0 in range(0, T_sel, chunk_steps):
+            j1 = min(j0 + chunk_steps, T_sel)
+            arrays = []
+            for i in sel[j0:j1]:
+                if h5s[i] not in cache:
+                    cache[h5s[i]] = h5py.File(viz / h5s[i], "r")
+                arrays.append(cache[h5s[i]][fmt.format(idxs[i])][:])
+            series = np.stack(arrays, axis=0)
+            if tensor:
+                pts = series.reshape(j1 - j0, -1, 9)
+                for cname, slot in _TENSOR_SLOTS.items():
+                    memmaps[cname][:, j0:j1] = pts[:, :, slot].T
+            elif series.ndim == 3 and series.shape[2] == 3:
+                memmaps["x"][:, j0:j1] = series[:, :, 0].T
+                memmaps["y"][:, j0:j1] = series[:, :, 1].T
+                memmaps["z"][:, j0:j1] = series[:, :, 2].T
+                memmaps["mag"][:, j0:j1] = np.linalg.norm(series, axis=2).T
+            else:
+                memmaps["mag"][:, j0:j1] = series.reshape(j1 - j0, -1).T
     finally:
         for f in cache.values():
             f.close()
-    series = np.stack(arrays, axis=0)  # (T, N, 3) | (T, N) | (T, ndofs, 1)
-
+    np.save(out / f"{quantity}_times.npy", times[sel])
     comps = {}
-    if quantity in ("stress", "strain"):
-        T = series.shape[0]
-        pts = series.reshape(T, -1, 9)  # (T, K*4 points, 9)
-        for cname, slot in _TENSOR_SLOTS.items():
-            comps[cname] = pts[:, :, slot].T
-    elif series.ndim == 3 and series.shape[2] == 3:
-        comps["x"] = series[:, :, 0].T
-        comps["y"] = series[:, :, 1].T
-        comps["z"] = series[:, :, 2].T
-        comps["mag"] = np.linalg.norm(series, axis=2).T
-    else:
-        comps["mag"] = series.reshape(series.shape[0], -1).T
-
-    out = Path(out_folder) if out_folder else folder / f"npz_{quantity}"
-    out.mkdir(parents=True, exist_ok=True)
-    for comp, mat in comps.items():
+    for comp in list(memmaps):
+        mat = memmaps.pop(comp)
+        mat.flush()
         # "data" is this package's key; "component" matches the reference's
         # npz readers (postprocessing_h5py_common.py read_npz_files)
-        np.savez_compressed(out / f"{quantity}_{comp}.npz", data=mat,
-                            component=mat, times=times[sel])
+        _write_npz_streaming(out / f"{quantity}_{comp}.npz",
+                             [("data", mat), ("component", mat),
+                              ("times", times[sel])])
+        del mat  # release the write mapping before reopening read-only
+        comps[comp] = np.load(out / f"{quantity}_{comp}.npy", mmap_mode="r")
     if dof_info is not None:
         import pickle
 
@@ -202,32 +256,31 @@ def read_spectrogram_data(folder, mesh_path=None, quantity="v",
                           end_t=None, stride=1, seed=0,
                           component="mag"):
     """Assemble the sampled node x time matrix for spectral analysis
-    (reference: spectrograms.py:160-330). Returns (matrix, times, fs)."""
+    (reference: spectrograms.py:160-330). Returns (matrix, times, fs).
+
+    Rows are selected BEFORE materialization: components are read through
+    the pivot's on-disk memmaps when present, so only the sampled rows ever
+    enter memory (bounded even for node x time matrices beyond host RAM)."""
     folder = Path(folder)
     params = read_parameters_from_file(folder) or {}
     mesh_path = Path(mesh_path) if mesh_path else folder / "Mesh" / "mesh.h5"
 
-    if quantity in ("stress", "strain") and component == "mag":
-        # Frobenius magnitude from the 6 distinct symmetric components
-        npz0 = folder / f"npz_{quantity}" / f"{quantity}_11.npz"
-        if not npz0.exists():
-            create_transformed_matrix(folder, quantity, start_t, end_t,
-                                      stride)
-        acc, times = None, None
-        for cname in _COMPONENTS[quantity]:
-            d = np.load(folder / f"npz_{quantity}" / f"{quantity}_{cname}.npz")
-            w = 1.0 if cname in ("11", "22", "33") else 2.0
-            acc = (w * d["data"] ** 2 if acc is None
-                   else acc + w * d["data"] ** 2)
-            times = d["times"]
-        mat = np.sqrt(acc)
-    else:
-        npz = folder / f"npz_{quantity}" / f"{quantity}_{component}.npz"
-        if not npz.exists():
-            create_transformed_matrix(folder, quantity, start_t, end_t,
-                                      stride)
-        data = np.load(npz)
-        mat, times = data["data"], data["times"]
+    npz_dir = folder / f"npz_{quantity}"
+    tensor_mag = quantity in ("stress", "strain") and component == "mag"
+    c0 = "11" if tensor_mag else component
+    if not (npz_dir / f"{quantity}_{c0}.npz").exists():
+        create_transformed_matrix(folder, quantity, start_t, end_t, stride)
+
+    def load_comp(c):
+        npy = npz_dir / f"{quantity}_{c}.npy"
+        if npy.exists():
+            return np.load(npy, mmap_mode="r")
+        return np.load(npz_dir / f"{quantity}_{c}.npz")["data"]
+
+    tnpy = npz_dir / f"{quantity}_times.npy"
+    times = (np.load(tnpy) if tnpy.exists()
+             else np.load(npz_dir / f"{quantity}_{c0}.npz")["times"])
+    mat = load_comp(c0)
 
     if quantity == "wss":
         # WSS rows live on the fluid BOUNDARY mesh, not the volume mesh
@@ -256,6 +309,14 @@ def read_spectrogram_data(folder, mesh_path=None, quantity="v",
         ids = np.asarray(point_ids)
     elif n_samples is not None and len(ids) > n_samples:
         rng = np.random.default_rng(seed)
-        ids = rng.choice(ids, size=n_samples, replace=False)
+        ids = np.sort(rng.choice(ids, size=n_samples, replace=False))
     fs = 1.0 / np.mean(np.diff(times)) if len(times) > 1 else 1.0
-    return mat[ids], times, fs
+    if tensor_mag:
+        # Frobenius magnitude from the 6 distinct symmetric components,
+        # accumulated over the SELECTED rows only
+        acc = np.zeros((len(ids), mat.shape[1]))
+        for cname in _COMPONENTS[quantity]:
+            w = 1.0 if cname in ("11", "22", "33") else 2.0
+            acc += w * np.asarray(load_comp(cname)[ids]) ** 2
+        return np.sqrt(acc), times, fs
+    return np.asarray(mat[ids]), times, fs

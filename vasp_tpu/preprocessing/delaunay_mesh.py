@@ -132,6 +132,106 @@ def _winding_inside(W, T, P, chunk=1024):
     return np.abs(out) > 0.5
 
 
+def _nearest_station_radius(V, centers, r):
+    """Per-point nearest centerline station, local radial distance to the
+    station axis, and the station's median vessel radius."""
+    from scipy.spatial import cKDTree
+
+    k = cKDTree(centers).query(np.asarray(V, np.float64))[1]
+    tang = np.gradient(centers, axis=0)
+    tang /= np.maximum(np.linalg.norm(tang, axis=1, keepdims=True), 1e-30)
+    rel = V - centers[k]
+    ax = np.einsum("ij,ij->i", rel, tang[k])
+    rad = np.linalg.norm(rel - ax[:, None] * tang[k], axis=1)
+    return k, rad, np.median(r, axis=1)[k]
+
+
+def _dome_patch(V, F, dome_mask):
+    """Faces fully inside the dome mask + the (largest) neck boundary ring
+    of that patch, ordered."""
+    from vasp_tpu.preprocessing.surface_mesh import boundary_loops
+
+    Fd = F[np.all(dome_mask[F], axis=1)]
+    if len(Fd) == 0:
+        return Fd, np.zeros(0, np.int64)
+    loops = boundary_loops(Fd)
+    if not loops:
+        return Fd, np.zeros(0, np.int64)
+    ring = max(loops, key=len)
+    return Fd, np.asarray(ring, np.int64)
+
+
+def _patch_vertex_normals(V, Fd, n_smooth=3):
+    """Area-weighted vertex normals of a face patch, Laplacian-smoothed
+    over the patch graph (orientation as given by the face winding)."""
+    n_f = np.cross(V[Fd[:, 1]] - V[Fd[:, 0]], V[Fd[:, 2]] - V[Fd[:, 0]])
+    nv = np.zeros_like(V)
+    for j in range(3):
+        np.add.at(nv, Fd[:, j], n_f)
+    e = np.concatenate([Fd[:, [0, 1]], Fd[:, [1, 2]], Fd[:, [2, 0]]])
+    for _ in range(n_smooth):
+        acc = nv.copy()
+        np.add.at(acc, e[:, 0], nv[e[:, 1]])
+        np.add.at(acc, e[:, 1], nv[e[:, 0]])
+        nv = acc
+    ln = np.linalg.norm(nv, axis=1, keepdims=True)
+    return nv / np.maximum(ln, 1e-30)
+
+
+def _close_patch(W, Fd, ring, apex):
+    """Closed surface = patch + fan from `apex` over the ordered ring,
+    globally oriented OUTWARD (positive enclosed volume)."""
+    a_id = len(W)
+    Wc = np.concatenate([W, apex[None]], axis=0)
+    i = np.arange(len(ring))
+    j = (i + 1) % len(ring)
+    fan = np.stack([np.full(len(ring), a_id), ring[j], ring[i]], axis=1)
+    T = np.concatenate([Fd, fan], axis=0)
+    A, B, C = Wc[T[:, 0]], Wc[T[:, 1]], Wc[T[:, 2]]
+    vol = np.einsum("ij,ij->i", A, np.cross(B, C)).sum() / 6.0
+    if vol < 0:
+        T = T[:, [0, 2, 1]]
+    return Wc, T
+
+
+def _poisson_thin(P, h_min, keep_first=0, rng=None):
+    """Greedy Poisson-disk thinning via a uniform grid hash: keep points at
+    least h_min apart (the first `keep_first` points are always kept)."""
+    P = np.asarray(P, np.float64)
+    order = np.arange(len(P))
+    if rng is not None and len(P) > keep_first:
+        tail = order[keep_first:]
+        rng.shuffle(tail)
+        order = np.concatenate([order[:keep_first], tail])
+    cell = max(h_min, 1e-30)
+    keys = np.floor(P / cell).astype(np.int64)
+    grid = {}
+    kept = []
+    h2 = h_min * h_min
+    for i in order:
+        k = tuple(keys[i])
+        ok = True
+        if i >= keep_first:
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    for dz in (-1, 0, 1):
+                        for j in grid.get((k[0] + dx, k[1] + dy,
+                                           k[2] + dz), ()):
+                            if ((P[i] - P[j]) ** 2).sum() < h2:
+                                ok = False
+                                break
+                        if not ok:
+                            break
+                    if not ok:
+                        break
+                if not ok:
+                    break
+        if ok:
+            kept.append(i)
+            grid.setdefault(k, []).append(i)
+    return np.asarray(sorted(kept), np.int64)
+
+
 def _sorted_prism_tets(tri, bot, top):
     """Split prisms over triangles into 3 tets each with the
     sorted-diagonal rule: the quad-face diagonal depends only on the
@@ -152,7 +252,8 @@ def delaunay_fsi_mesh(stl_path, edge_length=None, n_bl_fluid=2,
                       n_r_solid=1, sublayer_ratio_solid=1.0,
                       solid_thickness=None, thickness_frac=0.25,
                       no_solid=False, scale_factor=1.0, seed=0,
-                      n_z_param=None, n_theta_param=24) -> TetMesh:
+                      n_z_param=None, n_theta_param=24,
+                      dome_detect=True, dome_factor=1.45) -> TetMesh:
     """Unstructured two-domain FSI mesh from an STL surface.
 
     edge_length: target tet edge length in INPUT units (default: a third
@@ -164,13 +265,40 @@ def delaunay_fsi_mesh(stl_path, edge_length=None, n_bl_fluid=2,
     vmtkmeshgeneratorfsi.py:175-210). Solid parameters as in
     surface_fsi_mesh (constant solid_thickness or thickness_frac x local
     radius, graded by sublayer_ratio_solid).
-    """
+
+    NON-TUBULAR anatomy (sidewall aneurysm dome — the reference's flagship
+    clinical geometry, meshed there by vmtk/TetGen on arbitrary surfaces,
+    vmtkmeshgeneratorfsi.py:137-426): with dome_detect, vertices whose
+    radial distance exceeds dome_factor x the station's median vessel
+    radius form a dome patch, the vessel is re-parameterized with the dome
+    excluded, and the mesh is built on the UNION of the tube core and an
+    offset dome core (winding-number classification against both closed
+    surfaces); the dome patch's STL triangles themselves carry the dome
+    sheet sites, and the prism extrusion runs along per-site outward
+    directions (smoothed across the neck seam — the vmtk smoothed-warp-
+    vector analogue)."""
     rng = np.random.default_rng(seed)
     V, F = read_stl(stl_path)
     if n_z_param is None:
         n_z_param = 40
     centers, e1, e2, r = surface_tube_parameterization(
         V, F, n_z=n_z_param, n_theta=n_theta_param)
+    dome = None
+    if dome_detect:
+        k_v, rad_v, rmed_v = _nearest_station_radius(V, centers, r)
+        dome_mask = rad_v > dome_factor * rmed_v
+        if dome_mask.sum() >= 20:
+            # re-parameterize the VESSEL with the dome excluded, then
+            # re-detect against the cleaned radii
+            centers, e1, e2, r = surface_tube_parameterization(
+                V, F, n_z=n_z_param, n_theta=n_theta_param,
+                exclude_mask=dome_mask)
+            k_v, rad_v, rmed_v = _nearest_station_radius(V, centers, r)
+            dome_mask = rad_v > dome_factor * rmed_v
+            Fd, ring = _dome_patch(V, F, dome_mask)
+            if len(Fd) >= 10 and len(ring) >= 3:
+                dome = dict(mask=dome_mask, Fd=Fd, ring=ring,
+                            k_v=k_v, rmed_v=rmed_v)
     nz = len(centers) - 1
     if edge_length is None:
         edge_length = float(np.median(r)) / 3.0
@@ -221,8 +349,71 @@ def delaunay_fsi_mesh(stl_path, edge_length=None, n_bl_fluid=2,
     cS, dirS, rkS = _points_polar(centers, e1, e2, r, site_t, site_th)
     bl_site = np.interp(site_t, np.arange(nz + 1), bl_st)
     core_pts = cS + (rkS - bl_site)[:, None] * dirS
-    n_sites = len(core_pts)
 
+    # ---- 1b. sidewall-aneurysm dome: offset dome core + sites -----------
+    dome_geo = None
+    if dome is not None:
+        from scipy.spatial import cKDTree
+
+        Fd, ring = dome["Fd"], dome["ring"]
+        nv = _patch_vertex_normals(V, Fd)
+        dome_vs = np.unique(Fd)
+        rc = V[ring].mean(axis=0)
+        kc = int(np.argmin(np.linalg.norm(centers - rc, axis=1)))
+        tang = np.gradient(centers, axis=0)[kc]
+        tang /= max(np.linalg.norm(tang), 1e-30)
+        rel = rc - centers[kc]
+        dir_rc = rel - np.dot(rel, tang) * tang
+        dir_rc /= max(np.linalg.norm(dir_rc), 1e-30)
+        # fan apex pulled INSIDE the tube core so the dome-core region
+        # overlaps the tube core (no classification gap at the neck)
+        bl_neck = float(np.interp(kc, np.arange(nz + 1), bl_st))
+        apex = rc - (bl_neck + h) * dir_rc
+        # global orientation: the normal at the dome tip points away from
+        # the apex (STL winding gives consistency, this fixes the sign)
+        tip = dome_vs[np.argmax(np.linalg.norm(V[dome_vs] - rc, axis=1))]
+        if np.dot(nv[tip], V[tip] - apex) < 0:
+            nv = -nv
+        bl_v = np.minimum(bl_thickness_factor * h, 0.35 * dome["rmed_v"])
+        Wcore = V - bl_v[:, None] * nv
+        Wc, Tc = _close_patch(Wcore, Fd, ring, apex)
+        Wsh = V - (bl_v + 0.7 * h)[:, None] * nv
+        Wshc, Tshc = _close_patch(Wsh, Fd, ring, apex)
+        # dome sheet sites: thinned offset patch vertices
+        keep_idx = _poisson_thin(Wcore[dome_vs], 0.7 * h, rng=rng)
+        dome_sites = dome_vs[keep_idx]
+        # tube core sites under the neck (inside the dome core) lie on the
+        # REMOVED part of the union boundary: drop them, with a 0.6h
+        # clearance ring around the dome sheet sites
+        ins = _winding_inside(Wc, Tc, core_pts)
+        d_near = cKDTree(Wcore[dome_sites]).query(core_pts)[0]
+        keep_t = ~(ins | (d_near < 0.6 * h))
+        site_t, site_th = site_t[keep_t], site_th[keep_t]
+        cS, dirS, rkS = cS[keep_t], dirS[keep_t], rkS[keep_t]
+        bl_site, core_pts = bl_site[keep_t], core_pts[keep_t]
+        # dome interior lattice inside the shrunk dome core
+        lo_b = Wcore[dome_vs].min(axis=0)
+        hi_b = Wcore[dome_vs].max(axis=0)
+        nx = np.maximum(((hi_b - lo_b) / (0.9 * h)).astype(int) + 1, 1)
+        gx = [lo_b[d] + (np.arange(nx[d]) + 0.5) * (hi_b[d] - lo_b[d])
+              / nx[d] for d in range(3)]
+        X, Y, Z = np.meshgrid(*gx, indexing="ij")
+        lat = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+        lat = lat + rng.uniform(-0.1 * h, 0.1 * h, lat.shape)
+        lat = lat[_winding_inside(Wshc, Tshc, lat)]
+        if len(lat):
+            both = np.concatenate([Wcore[dome_sites], lat], axis=0)
+            sel = _poisson_thin(both, 0.6 * h,
+                                keep_first=len(dome_sites))
+            lat = both[sel[sel >= len(dome_sites)]]
+        dome_geo = dict(sheet_pts=Wcore[dome_sites],
+                        sheet_wall=V[dome_sites],
+                        sheet_dir=nv[dome_sites],
+                        sheet_rk=dome["rmed_v"][dome_sites],
+                        sheet_bl=bl_v[dome_sites],
+                        lattice=lat, Wc=Wc, Tc=Tc)
+
+    n_sites = len(core_pts)
     pts = [core_pts]
     groups = [np.full(n_sites, 1, np.int8)]  # 1 = core sheet
 
@@ -267,8 +458,33 @@ def delaunay_fsi_mesh(stl_path, edge_length=None, n_bl_fluid=2,
         t = float(np.interp(s, s_cum, np.arange(nz + 1)))
         polar_cloud(t, 0.7 * h, 4, jitter_xyz=0.1 * h)
 
+    i_dome0 = sum(len(p) for p in pts)
+    if dome_geo is not None:
+        pts.append(dome_geo["sheet_pts"])
+        groups.append(np.full(len(dome_geo["sheet_pts"]), 1, np.int8))
+        pts.append(dome_geo["lattice"])
+        groups.append(np.full(len(dome_geo["lattice"]), 5, np.int8))
+
     pts = np.concatenate(pts, axis=0)
     groups = np.concatenate(groups)
+
+    # per-site extrusion geometry (wall anchor, outward direction, local
+    # radius, BL thickness) for every SHEET point — tube sheet first,
+    # dome sheet appended
+    wall_pos = np.zeros_like(pts)
+    out_dir = np.zeros_like(pts)
+    rk_loc = np.zeros(len(pts))
+    bl_loc = np.zeros(len(pts))
+    wall_pos[:n_sites] = cS + rkS[:, None] * dirS
+    out_dir[:n_sites] = dirS
+    rk_loc[:n_sites] = rkS
+    bl_loc[:n_sites] = bl_site
+    if dome_geo is not None:
+        nd = len(dome_geo["sheet_pts"])
+        wall_pos[i_dome0:i_dome0 + nd] = dome_geo["sheet_wall"]
+        out_dir[i_dome0:i_dome0 + nd] = dome_geo["sheet_dir"]
+        rk_loc[i_dome0:i_dome0 + nd] = dome_geo["sheet_rk"]
+        bl_loc[i_dome0:i_dome0 + nd] = dome_geo["sheet_bl"]
 
     # ---- 3. Delaunay core + winding classification ---------------------
     from scipy.spatial import Delaunay
@@ -289,6 +505,9 @@ def delaunay_fsi_mesh(stl_path, edge_length=None, n_bl_fluid=2,
     # stays conforming (the lens volume is covered by the prisms).
     pure_sheet = np.all(groups[tets] == 1, axis=1)
     inside = _winding_inside(Wsurf, Tsurf, cent) | ~pure_sheet
+    if dome_geo is not None:
+        # union classification: lumen = tube core OR dome core
+        inside |= _winding_inside(dome_geo["Wc"], dome_geo["Tc"], cent)
     Pt = pts[tets]
     vol6 = np.einsum(
         "ij,ij->i", np.cross(Pt[:, 1] - Pt[:, 0], Pt[:, 2] - Pt[:, 0]),
@@ -323,9 +542,27 @@ def delaunay_fsi_mesh(stl_path, edge_length=None, n_bl_fluid=2,
 
     # ---- 5. extrude BL sheets + wall + solid shells ---------------------
     shell_vids = np.unique(lat_faces)
-    st, sth = site_t[shell_vids], site_th[shell_vids]  # sheet ids == site ids
-    cB, dirB, rkB = _points_polar(centers, e1, e2, r, st, sth)
-    blB = np.interp(st, np.arange(nz + 1), bl_st)
+    wallB = wall_pos[shell_vids]
+    dirB = out_dir[shell_vids]
+    rkB = rk_loc[shell_vids]
+    blB = bl_loc[shell_vids]
+    if dome_geo is not None:
+        # smooth the extrusion directions over the sheet graph (the vmtk
+        # smoothed-warp-vector analogue): at the neck seam the tube's
+        # radial direction meets the dome's surface normal, and unsmoothed
+        # directions there can cross; the WALL anchor stays exact (level
+        # f=0 is wallB itself)
+        lg = np.full(len(pts), -1, np.int64)
+        lg[shell_vids] = np.arange(len(shell_vids))
+        eg = np.concatenate([lat_faces[:, [0, 1]], lat_faces[:, [1, 2]],
+                             lat_faces[:, [2, 0]]])
+        eg = lg[eg]
+        for _ in range(3):
+            acc = dirB.copy()
+            np.add.at(acc, eg[:, 0], dirB[eg[:, 1]])
+            np.add.at(acc, eg[:, 1], dirB[eg[:, 0]])
+            dirB = acc / np.maximum(
+                np.linalg.norm(acc, axis=1, keepdims=True), 1e-30)
     # fluid levels outward from the core sheet: depths (from the wall)
     # dep_frac reversed, ending at the wall itself
     fl_depth = np.concatenate([dep_frac[::-1][1:], [0.0]])  # len n_bl_fluid
@@ -335,14 +572,14 @@ def delaunay_fsi_mesh(stl_path, edge_length=None, n_bl_fluid=2,
         thickB = thickness_frac * rkB
     frac_s = graded_fractions(n_r_solid, sublayer_ratio_solid) \
         if n_r_solid > 0 else np.zeros(0)
-    radii = [rkB - blB * f for f in fl_depth]
-    n_fluid_levels = len(radii)
+    offsets = [-blB * f for f in fl_depth]
+    n_fluid_levels = len(offsets)
     if not no_solid:
-        radii += [rkB + thickB * f for f in frac_s]
+        offsets += [thickB * f for f in frac_s]
     loc = np.full(len(pts), -1, np.int64)
     loc[shell_vids] = np.arange(len(shell_vids))
     base = len(pts)
-    shells = [cB + rad[:, None] * dirB for rad in radii]
+    shells = [wallB + off[:, None] * dirB for off in offsets]
     n_total_pts = base + len(shells) * len(shell_vids)
     coords = np.concatenate([pts] + shells, axis=0)
     n_fluid_pts = base + n_fluid_levels * len(shell_vids)

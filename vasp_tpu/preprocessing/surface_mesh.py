@@ -326,9 +326,16 @@ def _smooth(x, n_pass=2, axis=0):
     return x
 
 
-def surface_tube_parameterization(V, F, n_z=40, n_theta=16):
+def surface_tube_parameterization(V, F, n_z=40, n_theta=16,
+                                  exclude_mask=None):
     """Structured (z, theta) parameterization of a single-branch vessel
-    surface. Returns (centers (n_z+1,3), e1, e2, r (n_z+1, n_theta))."""
+    surface. Returns (centers (n_z+1,3), e1, e2, r (n_z+1, n_theta)).
+
+    exclude_mask: per-vertex bool — vertices excluded from the centerline
+    kernel average and the radius binning (but kept in the harmonic axial
+    field, which needs the whole connected surface). Used to keep a
+    sidewall-aneurysm dome from polluting the VESSEL radii
+    (delaunay_mesh.py dome composite)."""
     loops = boundary_loops(F)
     if len(loops) < 2:
         F = remove_caps(V, F, target_loops=2)
@@ -344,7 +351,11 @@ def surface_tube_parameterization(V, F, n_z=40, n_theta=16):
         remap[used] = np.arange(len(used))
         V, F = V[used], remap[F]
         loops = [remap[l] for l in loops]
+        if exclude_mask is not None:
+            exclude_mask = np.asarray(exclude_mask)[used]
     u = harmonic_axial(V, F, loops[0], loops[1])
+    keep_w = (np.ones(len(V)) if exclude_mask is None
+              else (~np.asarray(exclude_mask)).astype(float))
 
     # layer positions at u-QUANTILES: the harmonic field compresses near
     # the end rings, so uniform-u bins starve of vertices there (measured:
@@ -359,7 +370,9 @@ def surface_tube_parameterization(V, F, n_z=40, n_theta=16):
         lo = q[max(k - 1, 0)]
         hi = q[min(k + 1, n_z)]
         w = np.maximum(1.0 - np.abs(u - q[k]) / max(
-            (hi - lo) / 2.0, 1e-9), 0.0)
+            (hi - lo) / 2.0, 1e-9), 0.0) * keep_w
+        if w.sum() < 1e-12:
+            w = np.exp(-((u - q[k]) / 0.05) ** 2) * keep_w
         if w.sum() < 1e-12:
             w = np.exp(-((u - q[k]) / 0.05) ** 2)
         centers[k] = (V * w[:, None]).sum(axis=0) / w.sum()
@@ -377,8 +390,10 @@ def surface_tube_parameterization(V, F, n_z=40, n_theta=16):
     rsum = np.zeros((n_z + 1, n_theta))
     rcnt = np.zeros((n_z + 1, n_theta))
     rad = np.hypot(x1, x2)
-    np.add.at(rsum, (uz, jt), rad)
-    np.add.at(rcnt, (uz, jt), 1.0)
+    binned = (slice(None) if exclude_mask is None
+              else ~np.asarray(exclude_mask))
+    np.add.at(rsum, (uz[binned], jt[binned]), rad[binned])
+    np.add.at(rcnt, (uz[binned], jt[binned]), 1.0)
     r = np.where(rcnt > 0, rsum / np.maximum(rcnt, 1.0), 0.0)
     # fill empty (z,theta) cells by periodic angular interpolation per z
     for k in range(n_z + 1):
