@@ -50,7 +50,7 @@ def main():
         atol=1e-6, rtol=1e-6, max_it=12,
         gmres_tol=1e-3, gmres_restart=60, gmres_maxiter=120,
         jac_chunk=8192, overlap=2, jac_dtype="f32", krylov_dtype="f32",
-        residual_dtype="f32",
+        residual_dtype=os.environ.get("RESID", "f32f"),
     )
     stepper = IterativeStepper(system, bc_set, opts, recompute_tstep=20)
     U = system.zero_state()
