@@ -89,15 +89,31 @@ def test_ras_stepper_reuses_preconditioner(tube_problem):
     assert np.all(np.isfinite(np.asarray(U2)))
 
 
-def test_stall_triggered_rebuild(tube_problem):
-    """A load JUMP at a non-rebuild step (recompute_tstep far in the future)
-    must trip the stall detector, rebuild the preconditioner mid-step, and
-    strictly improve on the no-rebuild Newton (VERDICT r1 weak #3;
-    NewtonSolver's stall-rebuild semantics ported to the iterative path).
+def _damage_pinv(stepper, seed=0, scale=5.0):
+    """Corrupt the banded factors in place (elementwise random scaling):
+    the miniature of the production disease — DEGRADED factors (bf16
+    roundoff at blockcond ~2e9 on vmtk meshes, CLAUDE.md precision
+    ladder) stalling Newton while the system itself stays solvable."""
+    rng = np.random.default_rng(seed)
+    first, *rest = stepper._pinv
+    noise = jnp.asarray(rng.uniform(-1.0, 1.0, first.shape),
+                        dtype=first.dtype)
+    stepper._pinv = (first * (1.0 + scale * noise), *rest)
 
-    Mild jumps (<=2x) converge even with the stale preconditioner; a 3x
-    jump with a capped GMRES budget makes preconditioner quality binding
-    (measured: no-rebuild stalls at 3.5e-4, rebuild halves it per retry)."""
+
+def test_stall_triggered_rebuild(tube_problem):
+    """DEGRADED preconditioner factors at a non-rebuild step
+    (recompute_tstep far in the future) must trip the stall detector,
+    rebuild mid-step, and strictly improve on the no-rebuild Newton
+    (VERDICT r1 weak #3; NewtonSolver's stall-rebuild semantics ported to
+    the iterative path).
+
+    The damage is INJECTED (random per-entry scaling of the factors): the
+    round-3 cancellation-free kinematics removed every emergent stall on
+    this structured fixture (measured: converges in <=3 iterations at load
+    jumps up to 12x with gmres_maxiter down to 30), and the production
+    stall driver is factor-quality degradation on unstructured meshes
+    (CLAUDE.md precision-tier ladder), which this simulates directly."""
     sys_, bc_set, load = tube_problem
     U0 = sys_.zero_state()
     bcv = jnp.asarray(bc_set.values_at(0.001))
@@ -106,9 +122,10 @@ def test_stall_triggered_rebuild(tube_problem):
     stepper = IterativeStepper(sys_, bc_set, opts, recompute_tstep=1000)
     U1, _ = stepper.step(U0, bcv, load, tstep=1)
     first_rebuild = stepper._last_rebuild
+    _damage_pinv(stepper)
 
-    # raw jitted Newton with the STALE preconditioner (no host retry logic);
-    # anc_U/anc_R are unused placeholders with chained=False
+    # raw jitted Newton with the DAMAGED preconditioner (no host retry
+    # logic); anc_U/anc_R are unused placeholders with chained=False
     U2_stale, _, statv_stale = stepper._newton(
         U1, U1, bcv, 3.0 * load, stepper._dr, stepper._dc, stepper._pinv,
         stepper._blocks_dev, False, stepper.opt.max_it, False,
@@ -117,7 +134,7 @@ def test_stall_triggered_rebuild(tube_problem):
     sv = np.asarray(statv_stale)
     info_stale = dict(iterations=int(sv[0]), residual=float(sv[1]),
                       stalled=bool(sv[3]))
-    assert info_stale["stalled"], "fixture no longer stalls"
+    assert info_stale["stalled"], "damaged factors must stall raw Newton"
 
     # the public step(): detects the stall, rebuilds, continues — and with
     # best-state tracking NEVER ends on a worse iterate than the stale run
@@ -232,8 +249,10 @@ def test_endgame_factor_certified(tube_problem):
 def test_reactive_factor_escalation(tube_problem):
     """Optimistic-bf16 policy: a probe-flagged factorization escalates to
     the f64 recursion ONLY when Newton actually stalls (probe magnitude
-    alone is a measured false positive on structured meshes). Simulated
-    here by flagging the probe on the stall fixture's load-jump step."""
+    alone is a measured false positive on structured meshes). Simulated by
+    flagging the probe AND injecting factor damage (the production
+    degraded-bf16 condition in miniature — see test_stall_triggered_rebuild
+    on why no emergent stall exists on this fixture anymore)."""
     sys_, bc_set, load = tube_problem
     U0 = sys_.zero_state()
     bcv = jnp.asarray(bc_set.values_at(0.001))
@@ -243,15 +262,15 @@ def test_reactive_factor_escalation(tube_problem):
     U1, _ = stepper.step(U0, bcv, load, tstep=1)
     assert not stepper._banded_f64  # healthy factors: no escalation
 
-    # flag the probe: the next stall must take the reactive branch
+    # flag the probe + damage the factors: the next stall must take the
+    # reactive branch
     stepper._last_rel = 1e9
+    _damage_pinv(stepper)
     U2, info2 = stepper.step(U1, bcv, 3.0 * load, tstep=2)
     assert stepper._banded_f64, "stall + flagged probe must escalate"
     assert np.all(np.isfinite(np.asarray(U2)))
     # escalated f64 factors + rebuild must make real Newton progress on
-    # the jump step (the 3x load jump leaves a genuine nonlinear tail,
-    # so full atol=1e-9 needs more than the 8+8 iteration test budget;
-    # measured post-escalation residual 5.6e-6 on this fixture)
+    # the jump step within the 8+8 iteration test budget
     assert float(info2["residual"]) < 1e-5, float(info2["residual"])
 
 
