@@ -138,10 +138,13 @@ def test_predeform_quasistatic_vs_lame(tmp_path):
 
         u(r) = (1+nu)/E * (A (1-2nu) r + A b^2 / r),  A = P a^2/(b^2-a^2)
 
-    The solved mid-length interface displacement must match u(a) to ~10%
-    (discretization + end effects + the SVK finite-strain correction at
-    4e-3 strain). Reference bar: the reference validates physics against
-    analytic solutions the same way (Poiseuille WSS=2,
+    The solved mid-length interface displacement must match u(a) to 10%.
+    Measured convergence (hoop resolution is the binding error —
+    /tmp-probe, round 4): n_theta=8 -> 19%, n_theta=12 -> 2.9%,
+    n_theta=16 -> 1.7%; the test runs n_theta=12 with a vertex-only
+    interface selection (chord midpoints sit at 0.97a and bias the mean).
+    Reference bar: the reference validates physics against analytic
+    solutions the same way (Poiseuille WSS=2,
     tests/test_compute_hemodynamics.py:9-88)."""
     from vasp_tpu.run.driver import run_simulation
 
@@ -154,7 +157,7 @@ def test_predeform_quasistatic_vs_lame(tmp_path):
         folder=str(tmp_path / "lame"), mesh_path=None,
         generated_mesh_params=dict(
             r_inner=a, r_outer=b, length=L,
-            n_theta=8, n_r_fluid=1, n_r_solid=2, n_z=5),
+            n_theta=12, n_r_fluid=1, n_r_solid=2, n_z=5),
         fsi_region=[0.0, 0.0, 0.0, 1.0],  # whole interface is FSI
         robin_bc=False, solid_properties=None,
         material_model="StVenantKirchoff", mu_s=mu_s, lambda_s=lam_s,
@@ -184,7 +187,7 @@ def test_predeform_quasistatic_vs_lame(tmp_path):
     xy2 = np.asarray(space.p2_coords)
     r = np.linalg.norm(xy2[:, :2], axis=1)
     # interface nodes near mid-length (generated tube is centered on z=0)
-    sel = (np.abs(r - a) < 0.05 * a) & (np.abs(xy2[:, 2]) < 0.15 * L)
+    sel = (np.abs(r - a) < 0.005 * a) & (np.abs(xy2[:, 2]) < 0.15 * L)
     assert sel.sum() > 10
     er = xy2[sel, :2] / r[sel, None]
     u_r = np.einsum("ij,ij->i", d[sel, :2], er)
