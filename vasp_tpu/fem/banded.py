@@ -49,8 +49,33 @@ class BandedPattern:
         return self.nb * self.c
 
 
-def build_banded_pattern(block_dofs, ndof, lane_multiple=8, clip=None):
-    """RCM-order the dof graph and size blocks to its bandwidth.
+def _fiedler_order(adj, ndof, seed=0):
+    """Spectral (Fiedler-vector) ordering via LOBPCG with a Jacobi
+    preconditioner. Measured on the 185k-dof bench graph (round 4): the
+    sorted Fiedler order puts 99.9% of couplings within distance 3053 vs
+    RCM's 4410 — RCM chases the worst PAIR (bandwidth 4483 vs spectral
+    4151), but the spectral order has a far tighter coupling-distance
+    distribution, which is what a QUANTILE-clipped band wants."""
+    from scipy.sparse.linalg import lobpcg
+
+    import scipy.sparse as sp
+
+    deg = np.asarray(adj.sum(axis=1)).ravel()
+    L = (sp.diags(deg) - adj).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((ndof, 3))
+    X[:, 0] = 1.0
+    Minv = sp.diags(1.0 / np.maximum(deg, 1.0))
+    vals, vecs = lobpcg(L, X, M=Minv, tol=1e-5, maxiter=120,
+                        largest=False)
+    f = vecs[:, np.argsort(vals)[1]]
+    return np.argsort(f, kind="stable")
+
+
+def build_banded_pattern(block_dofs, ndof, lane_multiple=8, clip=None,
+                         ordering=None, qclip=None):
+    """Order the dof graph (RCM or spectral) and size blocks to its
+    bandwidth.
 
     block_dofs: list of (K, nloc) global dof arrays (one per assembler
     block) — the graph is the union of their pairwise couplings.
@@ -61,7 +86,17 @@ def build_banded_pattern(block_dofs, ndof, lane_multiple=8, clip=None):
     discards out-of-band targets; the Krylov operator stays exact), which
     trades preconditioner quality for the O(c^2) factor memory/bandwidth.
     The RCM bandwidth of a vessel is set by the widest cross-section pair,
-    so a modest clip drops only the few couplings that straddle it."""
+    so a modest clip drops only the few couplings that straddle it.
+
+    ordering (or env VASP_BANDED_ORDER): "rcm" (default) | "spectral".
+    qclip (or env VASP_BANDED_QCLIP) in (0, 1]: size c at the given
+    QUANTILE of the coupling-distance distribution instead of its max —
+    the natural companion of the spectral order (measured at 185k dofs:
+    spectral + qclip 0.999 gives c 3053+pad vs RCM's 4488 while dropping
+    only 0.1% of couplings; factor memory/apply traffic scale with c,
+    factorization flops with c^2)."""
+    import os
+
     import scipy.sparse as sp
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
@@ -78,9 +113,20 @@ def build_banded_pattern(block_dofs, ndof, lane_multiple=8, clip=None):
     adj = sp.coo_matrix((np.ones(len(rows), np.float32), (rows, cols)),
                         shape=(ndof, ndof)).tocsr()
     adj = adj + adj.T
-    perm = native.rcm_order(adj.indptr, adj.indices, ndof)
-    if perm is None:
-        perm = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True))
+    if ordering is None:
+        ordering = os.environ.get("VASP_BANDED_ORDER", "rcm")
+    if ordering == "spectral":
+        try:
+            perm = _fiedler_order(adj, ndof)
+        except Exception as exc:  # robustness: fall back to RCM
+            print(f"banded: spectral ordering failed ({exc}); "
+                  "falling back to RCM", flush=True)
+            ordering = "rcm"
+    if ordering != "spectral":
+        perm = native.rcm_order(adj.indptr, adj.indices, ndof)
+        if perm is None:
+            perm = np.asarray(reverse_cuthill_mckee(adj,
+                                                    symmetric_mode=True))
     perm = np.asarray(perm, np.int64)
     iperm = np.empty(ndof, np.int64)
     iperm[perm] = np.arange(ndof)
@@ -90,18 +136,21 @@ def build_banded_pattern(block_dofs, ndof, lane_multiple=8, clip=None):
     dist = np.abs(pr - pc)
     bw = int(dist.max())
     if clip is None:
-        import os
-
         clip = float(os.environ.get("VASP_BANDED_CLIP", "1.0"))
+    if qclip is None:
+        qclip = float(os.environ.get("VASP_BANDED_QCLIP", "1.0"))
     c = max(1, bw if clip >= 1.0 else int(round(bw * clip)))
+    if qclip < 1.0:
+        c = min(c, max(1, int(np.quantile(dist, qclip))))
     c += (-c) % lane_multiple  # keep the lane dimension tidy
-    if clip < 1.0:
+    if clip < 1.0 or qclip < 1.0:
         # the block-tridiagonal structure covers |pr-pc| <= c ALWAYS and
         # <= 2c-1 depending on position within the block; report the
         # guaranteed-dropped fraction so sweeps can correlate quality
         dropped = float((dist > c).sum()) / max(len(dist), 1)
-        print(f"banded: clip={clip} c={c} (bw={bw}) drops >={dropped:.2%} "
-              "of couplings from the preconditioner", flush=True)
+        print(f"banded: order={ordering} clip={clip} qclip={qclip} c={c} "
+              f"(bw={bw}) drops >={dropped:.2%} of couplings from the "
+              "preconditioner", flush=True)
     nb = max(1, -(-ndof // c))
     return BandedPattern(perm=perm, iperm=iperm, c=c, nb=nb, ndof=ndof)
 
