@@ -221,6 +221,19 @@ def assemble_banded(blocks, jacs, pattern: BandedPattern, bc_mask,
     return Cm, D, Bm
 
 
+def bgemv(A, x):
+    """True-f32 VPU matvec, batched or single:
+    y[..., a] = sum_b A[..., a, b] x[..., b].
+
+    dot_general with a 1-wide RHS maps badly onto the MXU, and under the
+    global jax_default_matmul_precision=highest every f32 dot pays THREE
+    bf16 passes over A. The broadcast-multiply + reduce runs on the VPU in
+    true f32 with one traffic pass: measured 3.11 -> 1.62 ms standalone at
+    (20832, 64, 64) bench shape (scripts/diag_gemv.py), and it is what the
+    banded applies' per-scan-step c x c matvecs want (A is the traffic)."""
+    return jnp.sum(A * x[..., None, :], axis=-1)
+
+
 def _probe_rel(Cm, D, Bm, Sinv, H, G):
     """Solve quality of the STORED factors against the banded operator:
     rel = ||T M b - b|| / ||b|| for a deterministic +-1 probe, where T is
@@ -233,28 +246,25 @@ def _probe_rel(Cm, D, Bm, Sinv, H, G):
     nb, c, _ = D.shape
     b = jnp.where((jnp.arange(nb * c) % 2) == 0, 1.0, -1.0
                   ).astype(jnp.float32).reshape(nb, c)
-    t = jnp.einsum("kab,kb->ka", Sinv, b,
-                   preferred_element_type=jnp.float32)
+    t = bgemv(Sinv, b)
 
     def fwd(wprev, tH):
         tk, Hk = tH
-        wk = tk - jnp.matmul(Hk, wprev, preferred_element_type=jnp.float32)
+        wk = tk - bgemv(Hk, wprev)
         return wk, wk
 
     _, w = jax.lax.scan(fwd, jnp.zeros(c, jnp.float32), (t, H))
 
     def bwd(xnext, wG):
         wk, Gk = wG
-        xk = wk - jnp.matmul(Gk, xnext, preferred_element_type=jnp.float32)
+        xk = wk - bgemv(Gk, xnext)
         return xk, xk
 
     _, x = jax.lax.scan(bwd, jnp.zeros(c, jnp.float32), (w, G),
                         reverse=True)
-    y = jnp.einsum("kab,kb->ka", D, x, preferred_element_type=jnp.float32)
-    y = y.at[1:].add(jnp.einsum("kab,kb->ka", Cm[1:], x[:-1],
-                                preferred_element_type=jnp.float32))
-    y = y.at[:-1].add(jnp.einsum("kab,kb->ka", Bm[:-1], x[1:],
-                                 preferred_element_type=jnp.float32))
+    y = bgemv(D, x)
+    y = y.at[1:].add(bgemv(Cm[1:], x[:-1]))
+    y = y.at[:-1].add(bgemv(Bm[:-1], x[1:]))
     return jnp.linalg.norm(y - b) / jnp.linalg.norm(b)
 
 
@@ -414,10 +424,7 @@ def make_banded_apply_lowmem(pattern: BandedPattern):
 
         def fwd(wprev, rCS):
             rk, Ck, Sk = rCS
-            wk = jnp.matmul(
-                Sk, rk - jnp.matmul(Ck, wprev,
-                                    preferred_element_type=jnp.float32),
-                preferred_element_type=jnp.float32)
+            wk = bgemv(Sk, rk - bgemv(Ck, wprev))
             return wk, wk
 
         _, w = jax.lax.scan(fwd, jnp.zeros(c, jnp.float32),
@@ -425,10 +432,7 @@ def make_banded_apply_lowmem(pattern: BandedPattern):
 
         def bwd(xnext, wBS):
             wk, Bk, Sk = wBS
-            xk = wk - jnp.matmul(
-                Sk, jnp.matmul(Bk, xnext,
-                               preferred_element_type=jnp.float32),
-                preferred_element_type=jnp.float32)
+            xk = wk - bgemv(Sk, bgemv(Bk, xnext))
             return xk, xk
 
         _, x = jax.lax.scan(bwd, jnp.zeros(c, jnp.float32), (w, Bm, Sinv),
@@ -453,21 +457,18 @@ def make_banded_apply(pattern: BandedPattern):
         rp = jnp.zeros(npad, jnp.float32)
         rp = rp.at[: ndof].set(r[perm].astype(jnp.float32))
         rb = rp.reshape(nb, c)
-        t = jnp.einsum("kab,kb->ka", Sinv, rb,
-                       preferred_element_type=jnp.float32)
+        t = bgemv(Sinv, rb)
 
         def fwd(wprev, tH):
             tk, Hk = tH
-            wk = tk - jnp.matmul(Hk, wprev,
-                                 preferred_element_type=jnp.float32)
+            wk = tk - bgemv(Hk, wprev)
             return wk, wk
 
         _, w = jax.lax.scan(fwd, jnp.zeros(c, jnp.float32), (t, H))
 
         def bwd(xnext, wG):
             wk, Gk = wG
-            xk = wk - jnp.matmul(Gk, xnext,
-                                 preferred_element_type=jnp.float32)
+            xk = wk - bgemv(Gk, xnext)
             return xk, xk
 
         _, x = jax.lax.scan(bwd, jnp.zeros(c, jnp.float32), (w, G),

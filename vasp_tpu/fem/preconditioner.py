@@ -40,6 +40,8 @@ def apply_schwarz(blocks, pinv, r):
     reduced) multiplicity outside."""
     y = jnp.zeros_like(r)
     for b, Ai in zip(blocks, pinv):
-        ye = jnp.einsum("kab,kb->ka", Ai, r[b.dofs])
+        from vasp_tpu.fem.banded import bgemv
+
+        ye = bgemv(Ai, r[b.dofs])
         y = y.at[b.dofs.reshape(-1)].add(ye.reshape(-1))
     return y

@@ -123,7 +123,9 @@ def apply_node_block(pinv, r, n_p2, off_p):
     rd = r[: 3 * n_p2].reshape(n_p2, 3)
     rv = r[3 * n_p2: 6 * n_p2].reshape(n_p2, 3)
     rb = jnp.concatenate([rd, rv], axis=1)  # (n_p2, 6)
-    yb = jnp.einsum("kab,kb->ka", pinv, rb)
+    from vasp_tpu.fem.banded import bgemv
+
+    yb = bgemv(pinv, rb)
     yd = yb[:, :3].reshape(-1)
     yv = yb[:, 3:].reshape(-1)
     return jnp.concatenate([yd, yv, r[off_p:]])

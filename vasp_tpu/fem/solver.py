@@ -178,7 +178,9 @@ class NewtonSolver:
         y = jnp.zeros_like(r)
         for b, Ai in zip(self.asm.blocks, self.state.pinv):
             re = r[b.dofs]
-            ye = jnp.einsum("kab,kb->ka", Ai, re)
+            from vasp_tpu.fem.banded import bgemv
+
+            ye = bgemv(Ai, re)
             y = y.at[b.dofs.reshape(-1)].add(ye.reshape(-1))
         return y / self.state.multiplicity
 

@@ -45,7 +45,7 @@ except ImportError:  # pragma: no cover
 
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from vasp_tpu.fem.banded import build_banded_pattern
+from vasp_tpu.fem.banded import bgemv, build_banded_pattern
 from vasp_tpu.fem.krylov import gmres
 from vasp_tpu.fem.timestepper import StepOptions
 from vasp_tpu.parallel.shard import build_device_mesh
@@ -266,7 +266,7 @@ def _local_matvec(skeleton, blocks_loc, jacs, x_ext, size, out_dtype):
     for data, A in zip(blocks_loc, jacs):
         dofs = data["dofs"]
         xe = x_ext[dofs].astype(A.dtype)
-        ye = jnp.einsum("kab,kb->ka", A, xe, preferred_element_type=A.dtype)
+        ye = bgemv(A, xe)
         y = y.at[dofs.reshape(-1)].add(ye.reshape(-1).astype(out_dtype))
     return y
 
@@ -420,15 +420,13 @@ def make_sharded_banded_apply(plan: ShardPlan, axis):
 
     def apply(Sinv, H, G, r_loc):
         rb = r_loc.astype(jnp.float32).reshape(nb_loc, c)
-        t = jnp.einsum("kab,kb->ka", Sinv, rb,
-                       preferred_element_type=jnp.float32)
+        t = bgemv(Sinv, rb)
         idx = jax.lax.axis_index(axis)
 
         def fwd_scan(w0):
             def fwd(wprev, tH):
                 tk, Hk = tH
-                wk = tk - jnp.matmul(Hk, wprev,
-                                     preferred_element_type=jnp.float32)
+                wk = tk - bgemv(Hk, wprev)
                 return wk, wk
 
             return jax.lax.scan(fwd, w0, (t, H))
@@ -449,8 +447,7 @@ def make_sharded_banded_apply(plan: ShardPlan, axis):
         def bwd_scan(x0):
             def bwd(xnext, wG):
                 wk, Gk = wG
-                xk = wk - jnp.matmul(Gk, xnext,
-                                     preferred_element_type=jnp.float32)
+                xk = wk - bgemv(Gk, xnext)
                 return xk, xk
 
             return jax.lax.scan(bwd, x0, (w, G), reverse=True)

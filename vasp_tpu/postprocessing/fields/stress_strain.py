@@ -189,7 +189,15 @@ def compute_stress_strain(folder, mesh_path=None, stride=1, n_devices=None):
         device_mesh = Mesh(np.array(devs), ("t",))
         sh = NamedSharding(device_mesh, P("t"))
         nd = int(device_mesh.devices.size)
+        # chunk bounded by BOTH the displacement rows (~0.5 GB) and the
+        # per-step OUTPUT tensors sig/eps (K,4,3,3 each — 72K doubles per
+        # step, the dominant buffer), and never padded past the series
+        # length rounded up to the device count (a 3-step test run must
+        # not allocate a 70k-step padded chunk — measured host OOM)
         chunk = nd * max(1, int(2.2e7 / max(n_p2, 1)))
+        K_all = len(solid_cells)
+        chunk = min(chunk, nd * max(1, int(6e6 / max(K_all, 1))))
+        chunk = min(chunk, ((len(times) + nd - 1) // nd) * nd)
         batched = jax.jit(jax.vmap(one_step_full), in_shardings=sh,
                           out_shardings=sh)
     else:
