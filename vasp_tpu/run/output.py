@@ -143,6 +143,11 @@ class CheckpointSeriesWriter:
         self.xdmf_path = self.folder / f"{name}.xdmf"
         self.count = 0
         self.entries = []
+        # a fresh writer REPLACES any previous series (re-running a
+        # postprocessing stage overwrites its outputs, as the reference's
+        # XDMFFile does; append-mode h5 would trip on existing groups)
+        if self.h5_path.exists():
+            self.h5_path.unlink()
         cells = np.asarray(cells, np.int64)
         coords = np.asarray(coords, np.float64)
         self.n_cells = len(cells)
