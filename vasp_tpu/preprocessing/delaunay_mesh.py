@@ -147,13 +147,34 @@ def _nearest_station_radius(V, centers, r):
 
 
 def _dome_patch(V, F, dome_mask):
-    """Faces fully inside the dome mask + the (largest) neck boundary ring
-    of that patch, ordered."""
+    """Largest connected patch of faces fully inside the dome mask + its
+    (largest) neck boundary ring, ordered. Connectivity filtering drops
+    stray false-positive faces (curvature outliers) that would otherwise
+    punch spurious holes in the classification surfaces."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+
     from vasp_tpu.preprocessing.surface_mesh import boundary_loops
 
     Fd = F[np.all(dome_mask[F], axis=1)]
     if len(Fd) == 0:
         return Fd, np.zeros(0, np.int64)
+    # largest face-connected component (faces sharing a vertex connect)
+    nf = len(Fd)
+    vmap = {}
+    rows, cols = [], []
+    for fi, tri in enumerate(Fd):
+        for v in tri:
+            vmap.setdefault(int(v), []).append(fi)
+    for fids in vmap.values():
+        for a in fids[1:]:
+            rows.append(fids[0])
+            cols.append(a)
+    g = sp.coo_matrix((np.ones(len(rows)), (rows, cols)), shape=(nf, nf))
+    ncomp, lab = connected_components(g, directed=False)
+    if ncomp > 1:
+        big = np.argmax(np.bincount(lab))
+        Fd = Fd[lab == big]
     loops = boundary_loops(Fd)
     if not loops:
         return Fd, np.zeros(0, np.int64)
@@ -285,20 +306,37 @@ def delaunay_fsi_mesh(stl_path, edge_length=None, n_bl_fluid=2,
         V, F, n_z=n_z_param, n_theta=n_theta_param)
     dome = None
     if dome_detect:
-        k_v, rad_v, rmed_v = _nearest_station_radius(V, centers, r)
-        dome_mask = rad_v > dome_factor * rmed_v
-        if dome_mask.sum() >= 20:
+        # Guards against FALSE dome positives (measured on the reference
+        # STLs): (a) cap-adjacent stations read inflated radii from the
+        # end-ring parameterization (tube.stl: 22 offenders, ALL at
+        # stations 1-3) — exclude them; (b) vessel curvature puts bend
+        # vertices up to 1.67x the station median (artery.stl, mid-vessel)
+        # — require a STRONG protrusion (>= dome_min_ratio, default 1.9;
+        # a real dome head sits at 2x+) before engaging the dome path.
+        dome_min_ratio = 1.9
+        nz0 = len(centers) - 1
+
+        def detect():
+            k_v, rad_v, rmed_v = _nearest_station_radius(V, centers, r)
+            interior = (k_v >= 3) & (k_v <= nz0 - 3)
+            mask = interior & (rad_v > dome_factor * rmed_v)
+            strong = interior & (rad_v > dome_min_ratio * rmed_v)
+            return mask, strong, rmed_v
+
+        dome_mask, strong, rmed_v = detect()
+        if dome_mask.sum() >= 20 and strong.any():
             # re-parameterize the VESSEL with the dome excluded, then
             # re-detect against the cleaned radii
             centers, e1, e2, r = surface_tube_parameterization(
                 V, F, n_z=n_z_param, n_theta=n_theta_param,
                 exclude_mask=dome_mask)
-            k_v, rad_v, rmed_v = _nearest_station_radius(V, centers, r)
-            dome_mask = rad_v > dome_factor * rmed_v
+            dome_mask, strong, rmed_v = detect()
             Fd, ring = _dome_patch(V, F, dome_mask)
-            if len(Fd) >= 10 and len(ring) >= 3:
+            patch_vs = np.unique(Fd) if len(Fd) else np.zeros(0, np.int64)
+            if (len(Fd) >= 10 and len(ring) >= 3
+                    and strong[patch_vs].any()):
                 dome = dict(mask=dome_mask, Fd=Fd, ring=ring,
-                            k_v=k_v, rmed_v=rmed_v)
+                            rmed_v=rmed_v)
     nz = len(centers) - 1
     if edge_length is None:
         edge_length = float(np.median(r)) / 3.0
