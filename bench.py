@@ -104,8 +104,16 @@ def measure(size_name):
         # BENCH_GTOL: direction accuracy vs Newton-iteration-count
         # tradeoff A/B (a tighter direction can save a whole iteration:
         # jacfwd + gmres + fine-residual eval)
+        # BENCH_JREC: within-step Jacobian reuse cadence (chord Newton
+        # between refreshes; 1 = true Newton)
+        recompute=int(os.environ.get("BENCH_JREC", "1")),
         gmres_tol=float(os.environ.get("BENCH_GTOL", "1e-3")),
-        gmres_restart=60, gmres_maxiter=120,
+        # BENCH_GRESTART: Arnoldi basis size — the per-iteration Givens
+        # loop and CGS2 basis passes scale with it, and converged
+        # directions take ~5 inner iterations, so a smaller restart cuts
+        # fixed costs (keep maxiter = 2 cycles' worth)
+        gmres_restart=int(os.environ.get("BENCH_GRESTART", "60")),
+        gmres_maxiter=2 * int(os.environ.get("BENCH_GRESTART", "60")),
         jac_chunk=8192, overlap=2, jac_dtype="f32", krylov_dtype="f32",
         # experiment knobs (A/B without editing the production defaults):
         # BENCH_FORCING=ew enables Eisenstat-Walker adaptive forcing;

@@ -88,6 +88,15 @@ class StepOptions:
     rtol: float = 1e-7
     max_it: int = 10
     lmbda: float = 1.0
+    # within-step Jacobian reuse cadence (the reference's `recompute`
+    # semantics, offset_stenosis.py:47): element Jacobians are recomputed
+    # every `recompute` Newton iterations INSIDE a dispatch, reused (chord
+    # Newton) in between. 1 = true Newton (default — CLAUDE.md landmine:
+    # chord diverges on load-JUMP steps; smooth production steps tolerate
+    # small cadences). Chunked dispatch re-freshens at every chunk entry,
+    # and every escalation/retry dispatch starts fresh, so a chord stall
+    # self-heals through the existing ladder.
+    recompute: int = 1
     gmres_tol: float = 1e-6
     gmres_restart: int = 60
     gmres_maxiter: int = 300
@@ -698,14 +707,20 @@ class IterativeStepper:
 
             use_ew = opt.forcing == "ew" and not exact
 
-            def newton_update(U, R, eta):
-                # fresh Jacobian each iteration (true Newton); only the RAS
-                # preconditioner is reused across iterations and steps.
+            rec = max(1, int(opt.recompute))
+
+            def fresh_jacs(U):
+                return asm.element_jacobians(U, U0, chunk=opt.jac_chunk,
+                                             dtype=jdtx)
+
+            def newton_update(U, R, eta, jacs):
+                # jacs: element Jacobians for this direction — fresh each
+                # iteration (true Newton, rec == 1) or reused on the
+                # opt.recompute cadence (chord); only the preconditioner
+                # is reused across steps either way.
                 # R: the CURRENT residual vector (carried through the loop —
                 # the f64 residual is ~1 s at full bench size, the step's
                 # dominant cost, so it is evaluated ONCE per iteration)
-                jacs = asm.element_jacobians(U, U0, chunk=opt.jac_chunk,
-                                             dtype=jdtx)
                 wdt = jnp.float32 if kf32x else jnp.float64
                 drw, dcw = dr.astype(wdt), dc.astype(wdt)
 
@@ -770,16 +785,23 @@ class IterativeStepper:
             anchored0 = fine_init if use_delta else jnp.bool_(False)
 
             def cond(carry):
-                (U, it, R, rnorm, stall, fine, Ub, rb, Rb, rbf,
-                 anchored, Aanc, RA, eta) = carry
+                it, rnorm, stall = carry[1], carry[3], carry[4]
                 return ((it < it_cap) & (rnorm > opt.atol)
                         & (rnorm / r0_safe > opt.rtol) & (stall < 2))
 
             def body(carry):
-                (U, it, R, rnorm, stall, fine0, Ub, rb, Rb, rbf,
-                 anchored, Aanc, RA, eta) = carry
+                if rec > 1:
+                    (U, it, R, rnorm, stall, fine0, Ub, rb, Rb, rbf,
+                     anchored, Aanc, RA, eta, jacs) = carry
+                    jacs = jax.lax.cond(
+                        (it > 0) & (it % rec == 0),
+                        fresh_jacs, lambda _: jacs, U)
+                else:
+                    (U, it, R, rnorm, stall, fine0, Ub, rb, Rb, rbf,
+                     anchored, Aanc, RA, eta) = carry
+                    jacs = fresh_jacs(U)
                 anc = (anchored, Aanc, RA)
-                dx = newton_update(U, R, eta)
+                dx = newton_update(U, R, eta, jacs)
                 fine = fine0 | (rnorm < ENDGAME)
                 # full-step-first: near the root exact Newton descends with
                 # the full step — ONE residual eval; the halving search
@@ -848,14 +870,19 @@ class IterativeStepper:
                         ** 2,
                         0.1 * opt.atol / jnp.maximum(rn, 1e-300)),
                     opt.gmres_tol, opt.ew_max)
-                return (U, it + 1, R, rn, stall, fine, Ub, rb, Rb, rbf,
-                        anchored, Aanc, RA, eta_next)
+                out = (U, it + 1, R, rn, stall, fine, Ub, rb, Rb, rbf,
+                       anchored, Aanc, RA, eta_next)
+                return out + ((jacs,) if rec > 1 else ())
 
-            (_, iters, _, _, stall, fine_end, U, rnorm, Rbest, rbfine,
-             _, _, _, _) = jax.lax.while_loop(
-                cond, body,
-                (U1, 0, R0, r0, 0, fine_init, U1, r0, R0, fine_init,
-                 anchored0, U1, R0, jnp.float64(opt.gmres_tol)))
+            init = (U1, 0, R0, r0, 0, fine_init, U1, r0, R0, fine_init,
+                    anchored0, U1, R0, jnp.float64(opt.gmres_tol))
+            if rec > 1:
+                # iteration 0 consumes the carried fresh Jacobians
+                init = init + (fresh_jacs(U1),)
+            final = jax.lax.while_loop(cond, body, init)
+            (iters, stall, fine_end, U, rnorm, Rbest, rbfine) = (
+                final[1], final[4], final[5], final[6], final[7],
+                final[8], final[9])
             # stats as ONE stacked f64 vector: the host fetches a single
             # buffer per dispatch. Five small per-field fetches between
             # back-to-back Newton dispatches reproducibly crashed the

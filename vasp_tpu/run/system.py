@@ -291,6 +291,14 @@ class FSISystem:
                 rtol=float(cfg.get("rtol", 1e-7)),
                 max_it=int(cfg.get("max_it", 50)),
                 lmbda=float(cfg.get("lmbda", 1.0)),
+                # within-step Jacobian reuse on the ITERATIVE path
+                # (StepOptions.recompute): its own knob, deliberately NOT
+                # the problem configs' `recompute` — the reference default
+                # cadences (20-30) assume MUMPS-grade directions, while
+                # chord Newton on the Krylov path diverges on load-jump
+                # steps (CLAUDE.md); opt in with jac_recompute=2-3 on
+                # smooth production runs
+                recompute=int(cfg.get("jac_recompute", 1)),
                 gmres_tol=float(cfg.get("gmres_tol", 1e-6)),
                 gmres_restart=int(cfg.get("gmres_restart", 60)),
                 gmres_maxiter=int(cfg.get("gmres_maxiter", 300)),
