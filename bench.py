@@ -105,8 +105,11 @@ def measure(size_name):
         # tradeoff A/B (a tighter direction can save a whole iteration:
         # jacfwd + gmres + fine-residual eval)
         # BENCH_JREC: within-step Jacobian reuse cadence (chord Newton
-        # between refreshes; 1 = true Newton)
-        recompute=int(os.environ.get("BENCH_JREC", "1")),
+        # between refreshes). Default 2 — the reference itself reuses the
+        # Jacobian for 20 iterations (offset_stenosis.py:47); measured
+        # here: 1.291 -> 1.165 s/step with identical 2-iteration
+        # convergence and the same residual to 3 digits
+        recompute=int(os.environ.get("BENCH_JREC", "2")),
         gmres_tol=float(os.environ.get("BENCH_GTOL", "1e-3")),
         # BENCH_GRESTART: Arnoldi basis size — the per-iteration Givens
         # loop and CGS2 basis passes scale with it, and converged

@@ -408,19 +408,28 @@ class IterativeStepper:
                 self._apply_banded = banded_mod.make_banded_apply(bpat)
             diag_flat = jnp.asarray(
                 banded_mod.identity_diag_slots(bpat, self.mask_np))
+            # host-precomputed static scatter targets: the index math and
+            # 2/3 of the scatter volume vanish from the rebuild (measured
+            # 3.33 s -> see assemble_banded_planned)
+            asm_plans = banded_mod.build_banded_assembly_plan(
+                [np.asarray(b.dofs) for b in self.asm.blocks], bpat,
+                self.mask_np)
 
             @jax.jit
-            def assemble_phase(U, U0, blocks):
+            def assemble_phase(U, U0, blocks, plans):
                 # everything here feeds the PRECONDITIONER: f32 jacobians
-                # halve peak HBM (the Newton loop recomputes its own)
+                # halve peak HBM (the Newton loop recomputes its own).
+                # plans ride in as ARGUMENTS — closed-over device arrays
+                # embed as HLO constants and the remote compiler rejects
+                # >~100 MB programs (CLAUDE.md 413 landmine)
                 asm = _asm(blocks)
                 jacs = asm.element_jacobians(U, U0, chunk=opt.jac_chunk,
                                              dtype=jnp.float32)
                 dr, dc = ruiz_scales(asm.blocks, jacs, mask, ndof,
                                      sweeps=opt.ruiz_sweeps)
                 jf = scale_element_jacobians(asm.blocks, jacs, dr, dc)
-                Cm, Dm, Bm = banded_mod.assemble_banded(
-                    asm.blocks, jf, bpat, mask, iperm_dev, diag_flat)
+                Cm, Dm, Bm = banded_mod.assemble_banded_planned(
+                    jf, plans, bpat, diag_flat)
                 return (dr.astype(jnp.float64), dc.astype(jnp.float64),
                         Cm, Dm, Bm)
 
@@ -463,7 +472,8 @@ class IterativeStepper:
                                  donate_argnums=(0,))
 
                 def rebuild_banded(U, U0, blocks):
-                    dr, dc, Cm, Dm, Bm = assemble_phase(U, U0, blocks)
+                    dr, dc, Cm, Dm, Bm = assemble_phase(U, U0, blocks,
+                                                        asm_plans)
                     Sinv = factorize_phase(Cm, Dm, Bm)
                     # bf16 C/B for the APPLY only (factorization above ran
                     # on the f32 blocks): the lowmem apply is HBM-bound —
@@ -491,7 +501,8 @@ class IterativeStepper:
                                         donate_argnums=(0, 1, 2))
 
                 def rebuild_banded(U, U0, blocks):
-                    dr, dc, Cm, Dm, Bm = assemble_phase(U, U0, blocks)
+                    dr, dc, Cm, Dm, Bm = assemble_phase(U, U0, blocks,
+                                                        asm_plans)
                     if not self._banded_f64:
                         Sinv, H, G, rel = factorize_phase(Cm, Dm, Bm)
                         # OPTIMISTIC bf16: a bad probe value alone does not
