@@ -172,14 +172,18 @@ def build_banded_assembly_plan(block_dofs, pattern: BandedPattern,
     bc mask), but passing iperm/mask as device arrays made the jitted
     assembly recompute ~110M-entry index tensors and run THREE 110M-entry
     scatter-adds (two of which dump most entries) every rebuild — measured
-    3.33 s of the 5.7 s rebuild at 185k dofs. This plan bakes the combined
-    single-buffer target (t*size + slot, invalid -> dump=3*size) per
-    element entry once on the host; the jitted assembly becomes ONE
-    scatter-add of the values per block.
+    3.33 s of the 5.7 s rebuild at 185k dofs. This plan partitions the
+    element entries by TARGET MATRIX once on the host: per block and per
+    target t in (C, D, B), a static (src, dst) index pair — src gathers
+    the in-band values out of the flattened element Jacobian, dst
+    scatter-adds them into that matrix's (size,) buffer. Disjoint subsets,
+    no dump traffic, int32-safe per buffer (3*size overflows int32 at
+    bench scale, which ruled out one combined buffer).
 
-    Returns list of int32 arrays, one per block, shape (K*nloc*nloc,)."""
+    Returns list (per block) of 3 (src, dst) int32 array pairs."""
     c, nb, ndof = pattern.c, pattern.nb, pattern.ndof
     size = nb * c * c
+    assert size + 1 < 2 ** 31, "banded storage exceeds int32 indexing"
     iperm = pattern.iperm.astype(np.int64)
     mask = np.asarray(bc_mask_np, bool)
     plans = []
@@ -192,31 +196,39 @@ def build_banded_assembly_plan(block_dofs, pattern: BandedPattern,
         o = pi[:, None, :] - (k[:, :, None] - 1) * c
         t = o // c  # 0 = C, 1 = D, 2 = B
         oc = o % c
-        flat = ((k[:, :, None] * c + row[:, :, None]) * c + oc
-                + t * np.int64(size))
-        valid = (ok[:, None, :] & ok[:, :, None]
-                 & (t >= 0) & (t <= 2))
-        flat = np.where(valid, flat, 3 * np.int64(size))
-        plans.append(jnp.asarray(flat.reshape(-1).astype(np.int32)))
+        flat = (k[:, :, None] * c + row[:, :, None]) * c + oc
+        valid = ok[:, None, :] & ok[:, :, None]
+        per_t = []
+        tt = t.reshape(-1)
+        vv = valid.reshape(-1)
+        ff = flat.reshape(-1)
+        for tsel in (0, 1, 2):
+            src = np.nonzero(vv & (tt == tsel))[0]
+            dst = ff[src]
+            per_t.append((jnp.asarray(src.astype(np.int32)),
+                          jnp.asarray(dst.astype(np.int32))))
+        plans.append(per_t)
     return plans
 
 
 def assemble_banded_planned(jacs, plans, pattern: BandedPattern,
                             diag_flat):
     """Jitted assembly against a host-precomputed plan
-    (build_banded_assembly_plan): one scatter-add per block into a single
-    combined (3*size+1,) f32 buffer, then three views."""
+    (build_banded_assembly_plan): per block and target matrix, one static
+    gather + one scatter-add over the in-band entries only."""
     c, nb = pattern.c, pattern.nb
     size = nb * c * c
-    assert 3 * size + 1 < 2 ** 31, "banded storage exceeds int32 indexing"
-    buf = jnp.zeros(3 * size + 1, jnp.float32)
-    for A, plan in zip(jacs, plans):
-        buf = buf.at[plan].add(A.astype(jnp.float32).reshape(-1))
-    # identity rows: bc dofs + padding slots (host-precomputed, D segment)
-    buf = buf.at[diag_flat + size].add(1.0)
-    Cm = buf[:size].reshape(nb, c, c)
-    D = buf[size:2 * size].reshape(nb, c, c)
-    Bm = buf[2 * size:3 * size].reshape(nb, c, c)
+    bufs = [jnp.zeros(size, jnp.float32) for _ in range(3)]
+    for A, per_t in zip(jacs, plans):
+        v = A.astype(jnp.float32).reshape(-1)
+        for tsel in range(3):
+            src, dst = per_t[tsel]
+            bufs[tsel] = bufs[tsel].at[dst].add(v[src])
+    # identity rows: bc dofs + padding slots (host-precomputed, D matrix)
+    bufs[1] = bufs[1].at[diag_flat].add(1.0)
+    Cm = bufs[0].reshape(nb, c, c)
+    D = bufs[1].reshape(nb, c, c)
+    Bm = bufs[2].reshape(nb, c, c)
     return Cm, D, Bm
 
 
