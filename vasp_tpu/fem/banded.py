@@ -437,6 +437,37 @@ def _inv64(S, n_polish=3):
     return cs[:, None] * X * rs[None, :]
 
 
+def factorize_banded_sinv32(Cm, D, Bm):
+    """Schur scan emitting ONLY Sinv in f32 — phase 1 of the HYBRID lowmem
+    factorization (f32 Sinv + bf16 H/G, see IterativeStepper).
+
+    Why hybrid: at lowmem scale the bf16-everything factors cost ~5 GMRES
+    inner iterations per direction (measured 0.245 s/direction at 185k
+    dofs) while f32 factors converge in ~1-2 — but all-f32 Sinv+H+G does
+    not fit the 16 GB chip (measured RESOURCE_EXHAUSTED, BENCH_FDTYPE=f32
+    probe). The binding error is Sinv's bf16 ROUNDING (the lowmem bf16
+    C/B switch was measured iteration-count neutral, so the recursion
+    operators tolerate bf16) — keeping Sinv in f32 and the H/G recursion
+    factors in bf16 gets f32-grade preconditioning at 6.8 GB of factors.
+    The caller computes H/G as separate jitted phases with the f32 C/B
+    donated, capping the rebuild peak."""
+    nb, c, _ = D.shape
+    eye2 = 2.0 * jnp.eye(c, dtype=jnp.float32)
+
+    def step(Gprev, CDB):
+        Ck, Dk, Bk = CDB
+        CG = jnp.matmul(Ck, Gprev, preferred_element_type=jnp.float32)
+        S = Dk - CG
+        Si = jnp.linalg.inv(S)
+        Si = Si @ (eye2 - S @ Si)
+        Gk = jnp.matmul(Si, Bk, preferred_element_type=jnp.float32)
+        return Gk, Si
+
+    G0 = jnp.zeros((c, c), jnp.float32)
+    _, Sinv = jax.lax.scan(step, G0, (Cm, D, Bm))
+    return Sinv
+
+
 def factorize_banded_f64(Cm, D, Bm):
     """Escalation path: the Schur recursion in emulated f64, factors
     emitted in f32 (f32 STORAGE of exact factors gives apply rel ~5e-4 on

@@ -123,9 +123,13 @@ class StepOptions:
     # restricted additive Schwarz, small sizes)
     precond: str = "banded"
     # banded factor storage: None = auto (f32 at non-lowmem sizes — 1 vs 8
-    # GMRES iterations at tol 1e-3, measured; bf16 at lowmem scale where
-    # f32 Sinv adds ~1.7 GB to the ~13.7 GB rebuild peak); "f32"/"bf16"
-    # force either
+    # GMRES iterations at tol 1e-3, measured; the HYBRID layout at lowmem
+    # scale: f32 Sinv + bf16 H/G, f32-grade preconditioning in 6.8 GB of
+    # factors — all-f32 OOMs the 16 GB chip and all-bf16 costs ~5 inner
+    # iterations/direction, both measured at 185k dofs). At lowmem scale
+    # "hybrid"/"bf16"/"f32" force the layout ("bf16"/"f32" select the
+    # legacy Sinv-only folded apply); at non-lowmem sizes "bf16" forces
+    # bf16 factor storage.
     banded_factor_dtype: Optional[str] = None
     # RAS
     n_subdomains: Optional[int] = None  # default: ~1500 dofs per subdomain
@@ -401,7 +405,15 @@ class IterativeStepper:
             self._banded_lowmem = (est_cdb > 7 * 2 ** 30
                                    or os.environ.get("VASP_FORCE_LOWMEM")
                                    == "1")
-            if self._banded_lowmem:
+            # lowmem factor layout: "hybrid" (default) keeps Sinv in f32
+            # and the H/G recursion factors in bf16 — the H/G-form apply.
+            # "bf16"/"f32" select the legacy Sinv-only folded apply with
+            # that Sinv storage (f32 Sinv-only OOMs at 185k dofs).
+            self._lowmem_mode = {None: "hybrid", "hybrid": "hybrid",
+                                 "bf16": "bf16", "f32": "f32"}[
+                self.opt.banded_factor_dtype
+                if self._banded_lowmem else None]
+            if self._banded_lowmem and self._lowmem_mode != "hybrid":
                 self._apply_banded = banded_mod.make_banded_apply_lowmem(
                     bpat)
             else:
@@ -454,7 +466,43 @@ class IterativeStepper:
             # actually stalls under flagged factors.
             REL_MAX = float(os.environ.get("VASP_BANDED_RELMAX", "1.0"))
             self._rel_max = REL_MAX
-            if self._banded_lowmem:
+            if self._banded_lowmem and self._lowmem_mode == "hybrid":
+                # HYBRID lowmem: f32 Sinv (the quality-binding factor —
+                # bf16 Sinv costs ~5 GMRES inner iterations/direction
+                # where f32 takes 1-2, measured 0.245 vs ~0.1 s at 185k
+                # dofs) + bf16 H/G (iteration-count neutral, like the
+                # bf16 C/B fold was). All-f32 factors OOM the 16 GB chip
+                # (measured); three sequenced phases with donated f32
+                # C/D/B cap the rebuild peak at ~12 GB. No escalation at
+                # lowmem scale (see the legacy branch's rationale).
+                sinv_phase = jax.jit(banded_mod.factorize_banded_sinv32,
+                                     donate_argnums=(1,))
+                mulcast = jax.jit(
+                    lambda S, X: jnp.einsum(
+                        "kab,kbc->kac", S, X,
+                        preferred_element_type=jnp.float32,
+                    ).astype(jnp.bfloat16),
+                    donate_argnums=(1,))
+
+                def rebuild_banded(U, U0, blocks):
+                    dr, dc, Cm, Dm, Bm = assemble_phase(U, U0, blocks,
+                                                        asm_plans)
+                    # phase barriers: XLA allocates a program's OUTPUTS at
+                    # ENQUEUE time. Enqueueing the Schur scan while the
+                    # assembly program is still executing adds the 3.4 GB
+                    # f32 Sinv output on top of the assembly's ~11.7 GB
+                    # in-flight peak — a measured OOM on the SECOND
+                    # rebuild (the bf16 Sinv of the legacy path was 1.7 GB
+                    # and squeaked under). Same for the H einsum behind
+                    # the scan.
+                    jax.block_until_ready(Dm)
+                    Sinv = sinv_phase(Cm, Dm, Bm)
+                    jax.block_until_ready(Sinv)
+                    H = mulcast(Sinv, Cm)  # frees C (donated)
+                    jax.block_until_ready(H)
+                    G = jax.block_until_ready(mulcast(Sinv, Bm))
+                    return dr, dc, Sinv, H, G
+            elif self._banded_lowmem:
                 # keep C/B for the apply; only D is donated (dead after
                 # the Schur scan). No escalation at lowmem scale: the
                 # emulated-f64 factorization's block temps on top of the
@@ -462,7 +510,7 @@ class IterativeStepper:
                 # c=4488), and the structured meshes that reach this size
                 # have benign Schur conditioning (bf16 factors measured
                 # converging to 1e-10 at 185k dofs).
-                fdt = jnp.float32 if self.opt.banded_factor_dtype == "f32" \
+                fdt = jnp.float32 if self._lowmem_mode == "f32" \
                     else jnp.bfloat16
                 factorize_phase = jax.jit(
                     partial(banded_mod.factorize_banded_lowmem,
