@@ -347,3 +347,35 @@ def test_ew_forcing_matches_fixed(tube_problem):
     a, b = np.asarray(U_fx), np.asarray(U_ew)
     assert np.allclose(a, b, atol=2e-4 * np.abs(a).max()), (
         np.abs(a - b).max(), np.abs(a).max())
+
+
+def test_lowmem_hybrid_matches_lu(tube_problem, monkeypatch):
+    """The HYBRID lowmem factor layout (f32 Sinv + bf16 H/G — the
+    production layout at >=185k dofs, where all-f32 factors OOM the 16 GB
+    chip and all-bf16 ones cost ~5 GMRES inner iterations/direction) must
+    converge to the LU solution. Forced here via VASP_FORCE_LOWMEM on the
+    tiny fixture; the H/G-form apply and the three-phase rebuild are the
+    same code the full bench runs."""
+    sys_, bc_set, load = tube_problem
+    monkeypatch.setenv("VASP_FORCE_LOWMEM", "1")
+    U0 = sys_.zero_state()
+    bcv = jnp.asarray(bc_set.values_at(0.001))
+
+    solver = sys_.make_solver(bc_set)
+    U_lu, _ = solver.solve(bc_set.apply(U0, 0.001), U0, t=0.001,
+                           tstep=1, load=load)
+
+    opts = StepOptions(atol=1e-9, rtol=1e-9, max_it=8, gmres_tol=1e-8,
+                       gmres_restart=60, gmres_maxiter=600, overlap=2)
+    stepper = IterativeStepper(sys_, bc_set, opts, recompute_tstep=20)
+    assert stepper._banded_lowmem and stepper._lowmem_mode == "hybrid"
+    U_it, info_it = stepper.step(U0, bcv, load, tstep=1)
+    assert float(info_it["residual"]) < 1e-8
+    # second step reuses the hybrid factors; third forces a fresh rebuild
+    # (the measured OOM class was the SECOND rebuild's enqueue overlap)
+    U2, _ = stepper.step(U_it, bcv, load, tstep=2)
+    stepper._rebuild(U2, U_it, 3)
+    a, b = np.asarray(U_lu), np.asarray(U_it)
+    scale = np.abs(a).max()
+    assert np.allclose(a, b, atol=1e-5 * scale), (
+        np.abs(a - b).max(), scale)

@@ -477,6 +477,13 @@ class IterativeStepper:
                 # lowmem scale (see the legacy branch's rationale).
                 sinv_phase = jax.jit(banded_mod.factorize_banded_sinv32,
                                      donate_argnums=(1,))
+                # NOTE: these products keep the global highest-precision
+                # (3-pass) matmul config even though H/G are stored bf16:
+                # the one-pass bf16 variant was MEASURED SLOWER end-to-end
+                # (0.86 -> 0.99 s/step full bench, reproduced twice) — the
+                # extra INPUT rounding inside the product compounds with
+                # the storage rounding and costs GMRES inner iterations
+                # worth more than the saved MXU passes.
                 mulcast = jax.jit(
                     lambda S, X: jnp.einsum(
                         "kab,kbc->kac", S, X,
