@@ -110,6 +110,14 @@ def measure(size_name):
         # here: 1.291 -> 1.165 s/step with identical 2-iteration
         # convergence and the same residual to 3 digits
         recompute=int(os.environ.get("BENCH_JREC", "2")),
+        # BENCH_JCARRY: carry element Jacobians across steps on the
+        # recompute cadence (the reference's turtleFSI semantic — its
+        # recompute=20 reuses the Jacobian across timesteps). Measured
+        # NEUTRAL here (0.8755 vs 0.8686 s/step): the stale first
+        # direction costs the 1-iteration steady steps a second Newton
+        # iteration, which cancels the saved 0.116 s jacfwd. Off by
+        # default; useful on configs whose steps take 3+ iterations.
+        jac_carry=os.environ.get("BENCH_JCARRY", "0") != "0",
         gmres_tol=float(os.environ.get("BENCH_GTOL", "1e-3")),
         # BENCH_GRESTART: Arnoldi basis size — the per-iteration Givens
         # loop and CGS2 basis passes scale with it, and converged

@@ -176,6 +176,15 @@ class StepOptions:
     # for problems whose f32 noise is NOT block-separable.
     chain_anchor: bool = False
     chain_reanchor: int = 1
+    # Carry element Jacobians ACROSS Newton dispatches/timesteps on the
+    # recompute cadence (chord Newton, the reference's own semantic:
+    # turtleFSI reuses the assembled Jacobian until `recompute` iterations
+    # have accumulated since its build, which spans timesteps on 1-2-
+    # iteration production steps — reference:
+    # src/vasp/simulations/offset_stenosis.py:47 recompute=20). Only
+    # converged exits persist the carry; stalls/escalations restart from
+    # fresh Jacobians. Requires recompute > 1.
+    jac_carry: bool = False
     # "extrapolate" starts Newton from the linear time-extrapolation
     # 2 U_n - U_{n-1} instead of U_n (consecutive-tstep calls only).
     # On converged production steps this removes one endgame Newton
@@ -295,6 +304,7 @@ class IterativeStepper:
         self._dr = None
         self._dc = None
         self._jacs = None
+        self._jac_carry = None  # (element jacs, iteration age) or None
         # predictor history (opt.predictor == "extrapolate")
         self._pred_prev = None
         self._pred_tstep = None
@@ -647,9 +657,10 @@ class IterativeStepper:
 
         from functools import partial
 
-        @partial(jax.jit, static_argnums=(10, 13))
+        @partial(jax.jit, static_argnums=(10, 13, 16))
         def newton(U0, Ustart, bcv, load, dr, dc, pinv, blocks,
-                   fine_start, it_cap, exact, anc_U, anc_R, chained):
+                   fine_start, it_cap, exact, anc_U, anc_R, chained,
+                   jacs_in, jage, carried):
             # U0: previous-timestep state (enters the theta-scheme residual);
             # Ustart: Newton starting point (== U0 normally; mid-Newton best
             # state when retrying after a stall-triggered rebuild or
@@ -774,6 +785,14 @@ class IterativeStepper:
             use_ew = opt.forcing == "ew" and not exact
 
             rec = max(1, int(opt.recompute))
+            # carried (STATIC): element Jacobians carried in from a
+            # PREVIOUS dispatch/timestep (the reference's recompute
+            # semantic — turtleFSI's newtonsolver reuses the assembled
+            # Jacobian across iterations AND timesteps until `recompute`
+            # iterations have accumulated, reference:
+            # src/vasp/simulations/offset_stenosis.py:47). jage is the
+            # iteration age of jacs_in since its jacfwd; the in-loop
+            # refresh keeps the cumulative cadence.
 
             def fresh_jacs(U):
                 return asm.element_jacobians(U, U0, chunk=opt.jac_chunk,
@@ -860,7 +879,7 @@ class IterativeStepper:
                     (U, it, R, rnorm, stall, fine0, Ub, rb, Rb, rbf,
                      anchored, Aanc, RA, eta, jacs) = carry
                     jacs = jax.lax.cond(
-                        (it > 0) & (it % rec == 0),
+                        (it > 0) & ((it + jage) % rec == 0),
                         fresh_jacs, lambda _: jacs, U)
                 else:
                     (U, it, R, rnorm, stall, fine0, Ub, rb, Rb, rbf,
@@ -943,8 +962,9 @@ class IterativeStepper:
             init = (U1, 0, R0, r0, 0, fine_init, U1, r0, R0, fine_init,
                     anchored0, U1, R0, jnp.float64(opt.gmres_tol))
             if rec > 1:
-                # iteration 0 consumes the carried fresh Jacobians
-                init = init + (fresh_jacs(U1),)
+                # iteration 0 consumes the carried-in Jacobians (cross-
+                # dispatch chord Newton) or a fresh jacfwd
+                init = init + ((jacs_in if carried else fresh_jacs(U1)),)
             final = jax.lax.while_loop(cond, body, init)
             (iters, stall, fine_end, U, rnorm, Rbest, rbfine) = (
                 final[1], final[4], final[5], final[6], final[7],
@@ -962,7 +982,10 @@ class IterativeStepper:
                 fine_end.astype(jnp.float64),
                 rbfine.astype(jnp.float64),
             ])
-            return U, Rbest, statv
+            # jacs ride out for the cross-step carry (device-resident —
+            # no host traffic; rec == 1 recomputes every iteration and
+            # has nothing to carry)
+            return U, Rbest, statv, (final[14] if rec > 1 else ())
 
         self._newton = newton
 
@@ -985,16 +1008,36 @@ class IterativeStepper:
         chained = self._chain_on and not exact
         anc_U, anc_R = (self._anc if chained
                         else (U0, U0))  # unused placeholders when off
+        # cross-dispatch Jacobian carry (opt.jac_carry): chord Newton on
+        # the reference's recompute cadence ACROSS timesteps — turtleFSI
+        # reuses the assembled Jacobian until `recompute` iterations have
+        # accumulated since its build (reference:
+        # src/vasp/simulations/offset_stenosis.py:47 recompute=20), which
+        # spans steps on 1-2-iteration production steps. Saves the 0.116 s
+        # jacfwd on carried steps at full bench size; any ladder
+        # escalation or stall clears the carry (fresh Jacobians).
+        rec = max(1, int(self.opt.recompute))
+        use_carry = self.opt.jac_carry and rec > 1 and not exact
+        jacs_c, age_c = (self._jac_carry if use_carry
+                         and self._jac_carry is not None else (None, 0))
         U, fine, total, r0_first = Ustart, fine_start, 0, None
         while True:
             cap = min(self.NEWTON_CHUNK, it_budget - total)
-            U, R, statv = self._newton(U0, U, bcv, load, self._dr, self._dc,
-                                       self._pinv, self._blocks_dev,
-                                       fine, cap, exact, anc_U, anc_R,
-                                       chained)
+            carried = jacs_c is not None
+            U, R, statv, jacs_out = self._newton(
+                U0, U, bcv, load, self._dr, self._dc,
+                self._pinv, self._blocks_dev,
+                fine, cap, exact, anc_U, anc_R,
+                chained, jacs_c if carried else 0,
+                jnp.int32(age_c), carried)
             sv = np.asarray(statv)  # single device->host fetch per chunk
             it = int(sv[0])
             total += it
+            if use_carry and rec > 1:
+                # cumulative-age arithmetic: in-loop refreshes fire when
+                # (it + age) crosses a multiple of rec, so the age since
+                # the last refresh is (age + it) mod rec in every case
+                jacs_c, age_c = jacs_out, (age_c + it) % rec
             if r0_first is None:
                 r0_first = float(sv[2])
             fine = bool(sv[4])
@@ -1004,6 +1047,10 @@ class IterativeStepper:
             if (converged or bool(sv[3]) or it < cap
                     or total >= it_budget):
                 break
+        if use_carry:
+            # persist across steps only on a CONVERGED exit: stalls and
+            # escalations restart from fresh Jacobians
+            self._jac_carry = (jacs_c, age_c) if converged else None
         return U, R, dict(iterations=total, residual=res, r0=r0_first,
                           stalled=bool(sv[3]), fine=fine,
                           rfine=bool(sv[5]) or exact)
