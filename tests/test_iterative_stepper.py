@@ -126,10 +126,10 @@ def test_stall_triggered_rebuild(tube_problem):
 
     # raw jitted Newton with the DAMAGED preconditioner (no host retry
     # logic); anc_U/anc_R are unused placeholders with chained=False
-    U2_stale, _, statv_stale = stepper._newton(
+    U2_stale, _, statv_stale, _ = stepper._newton(
         U1, U1, bcv, 3.0 * load, stepper._dr, stepper._dc, stepper._pinv,
         stepper._blocks_dev, False, stepper.opt.max_it, False,
-        U1, U1, False)
+        U1, U1, False, 0, jnp.int32(0), False)
     # statv layout: [iterations, residual, r0, stalled, fine, rbfine]
     sv = np.asarray(statv_stale)
     info_stale = dict(iterations=int(sv[0]), residual=float(sv[1]),
