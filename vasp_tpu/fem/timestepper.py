@@ -501,7 +501,11 @@ class IterativeStepper:
                     ).astype(jnp.bfloat16),
                     donate_argnums=(1,))
 
+                timing = os.environ.get("VASP_REBUILD_TIMING") == "1"
+
                 def rebuild_banded(U, U0, blocks):
+                    import time as _t
+                    t0 = _t.time()
                     dr, dc, Cm, Dm, Bm = assemble_phase(U, U0, blocks,
                                                         asm_plans)
                     # phase barriers: XLA allocates a program's OUTPUTS at
@@ -513,11 +517,17 @@ class IterativeStepper:
                     # and squeaked under). Same for the H einsum behind
                     # the scan.
                     jax.block_until_ready(Dm)
+                    t1 = _t.time()
                     Sinv = sinv_phase(Cm, Dm, Bm)
                     jax.block_until_ready(Sinv)
+                    t2 = _t.time()
                     H = mulcast(Sinv, Cm)  # frees C (donated)
                     jax.block_until_ready(H)
                     G = jax.block_until_ready(mulcast(Sinv, Bm))
+                    if timing:
+                        print(f"rebuild phases: assemble {t1-t0:.2f}s "
+                              f"scan {t2-t1:.2f}s hg {_t.time()-t2:.2f}s",
+                              flush=True)
                     return dr, dc, Sinv, H, G
             elif self._banded_lowmem:
                 # keep C/B for the apply; only D is donated (dead after
