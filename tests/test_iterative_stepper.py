@@ -379,3 +379,32 @@ def test_lowmem_hybrid_matches_lu(tube_problem, monkeypatch):
     scale = np.abs(a).max()
     assert np.allclose(a, b, atol=1e-5 * scale), (
         np.abs(a - b).max(), scale)
+
+
+def test_jac_carry_unwrapped_age(tube_problem):
+    """Advisor r4 (medium): on a stream of 1-iteration converged steps a
+    carried Jacobian must NOT age past `recompute` undetected (the old
+    mod-rec bookkeeping wrapped 19->0 silently). With recompute=3, after
+    enough 1-2-iteration steps the host must drop the carry (forcing
+    fresh element Jacobians) instead of wrapping its age."""
+    sys_, bc_set, load = tube_problem
+    U0 = sys_.zero_state()
+    bcv = jnp.asarray(bc_set.values_at(0.001))
+    opts = StepOptions(atol=1e-8, rtol=1e-8, max_it=8, gmres_tol=1e-7,
+                       gmres_restart=60, gmres_maxiter=600,
+                       recompute=3, jac_carry=True)
+    stepper = IterativeStepper(sys_, bc_set, opts, recompute_tstep=100)
+    ages = []
+    U = U0
+    for tstep in range(1, 7):
+        U, info = stepper.step(U, bcv, load, tstep=tstep)
+        res = float(info["residual"])
+        assert res < 1e-8 * max(1.0, float(info["r0"])) or res < 1e-8
+        carry = stepper._jac_carry
+        ages.append(None if carry is None else int(carry[1]))
+    # the age must never reach recompute while a carry is held, and the
+    # carry must actually cycle (dropped or refreshed at least once over
+    # 6 steps of >=1 iteration each with recompute=3)
+    held = [a for a in ages if a is not None]
+    assert all(a < 3 for a in held), ages
+    assert (None in ages) or (len(held) >= 2 and min(held) < max(held)), ages

@@ -450,22 +450,12 @@ def factorize_banded_sinv32(Cm, D, Bm):
     operators tolerate bf16) — keeping Sinv in f32 and the H/G recursion
     factors in bf16 gets f32-grade preconditioning at 6.8 GB of factors.
     The caller computes H/G as separate jitted phases with the f32 C/B
-    donated, capping the rebuild peak."""
-    nb, c, _ = D.shape
-    eye2 = 2.0 * jnp.eye(c, dtype=jnp.float32)
+    donated, capping the rebuild peak.
 
-    def step(Gprev, CDB):
-        Ck, Dk, Bk = CDB
-        CG = jnp.matmul(Ck, Gprev, preferred_element_type=jnp.float32)
-        S = Dk - CG
-        Si = jnp.linalg.inv(S)
-        Si = Si @ (eye2 - S @ Si)
-        Gk = jnp.matmul(Si, Bk, preferred_element_type=jnp.float32)
-        return Gk, Si
-
-    G0 = jnp.zeros((c, c), jnp.float32)
-    _, Sinv = jax.lax.scan(step, G0, (Cm, D, Bm))
-    return Sinv
+    Computationally this IS factorize_banded_lowmem with f32 storage
+    (one shared scan body — advisor r4); only the hybrid rationale above
+    differs."""
+    return factorize_banded_lowmem(Cm, D, Bm, factor_dtype=jnp.float32)
 
 
 def factorize_banded_f64(Cm, D, Bm):

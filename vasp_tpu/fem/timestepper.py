@@ -195,6 +195,15 @@ class StepOptions:
     # newtonsolver), so "none" keeps its exact r0/rtol semantics.
     predictor: str = "none"
 
+    def __post_init__(self):
+        # validate eagerly: an invalid value used to surface only as a
+        # bare KeyError once the problem tripped the lowmem threshold
+        # (advisor r4) — fail at construction, at every size
+        if self.banded_factor_dtype not in (None, "hybrid", "bf16", "f32"):
+            raise ValueError(
+                f"banded_factor_dtype={self.banded_factor_dtype!r}: "
+                "expected None (auto), 'hybrid', 'bf16', or 'f32'")
+
 
 def make_step_fn(assembler, bc_mask, options: StepOptions, layout=None,
                  reduce_fn=None, reduce_max_fn=None):
@@ -606,6 +615,11 @@ class IterativeStepper:
             # ~8 GB and holding them through the new assembly (another
             # ~10 GB of C/D/B) OOMs the 16 GB chip on the second rebuild
             self._pinv = None
+            # a held cross-step Jacobian carry (~90 MB at bench size, but
+            # resident on TOP of the ~12-13.7 GB rebuild peak) is exactly
+            # the enqueue-time-allocation OOM class documented above —
+            # drop it before the rebuild; the next dispatch re-jacfwds
+            self._jac_carry = None
             dr, dc, *factors = self._rebuild_banded(U, U0,
                                                     self._blocks_dev)
             self._dr, self._dc = dr, dc
@@ -1044,10 +1058,26 @@ class IterativeStepper:
             it = int(sv[0])
             total += it
             if use_carry and rec > 1:
-                # cumulative-age arithmetic: in-loop refreshes fire when
-                # (it + age) crosses a multiple of rec, so the age since
-                # the last refresh is (age + it) mod rec in every case
-                jacs_c, age_c = jacs_out, (age_c + it) % rec
+                # UNWRAPPED age bookkeeping: in-loop refreshes fire at
+                # body-iterations it_r in [1, it-1] with
+                # (it_r + age_c) % rec == 0, i.e. it_r = k*rec - age_c.
+                # If one fired, the carry's age is counted from the LAST
+                # such point; otherwise it accumulates age_c + it — and a
+                # stream of 1-iteration converged steps (it == 1, no
+                # in-loop refresh possible at it == 0) must NOT wrap the
+                # age mod rec, or the Jacobian grows unboundedly stale
+                # (advisor r4, medium). An overdue carry is dropped
+                # host-side so the next dispatch starts from fresh_jacs.
+                k_max = (it - 1 + age_c) // rec
+                it_last = k_max * rec - age_c
+                if 1 <= it_last <= it - 1:
+                    age_c = it - it_last
+                else:
+                    age_c = age_c + it
+                if age_c >= rec:
+                    jacs_c, age_c = None, 0
+                else:
+                    jacs_c = jacs_out
             if r0_first is None:
                 r0_first = float(sv[2])
             fine = bool(sv[4])
@@ -1060,7 +1090,9 @@ class IterativeStepper:
         if use_carry:
             # persist across steps only on a CONVERGED exit: stalls and
             # escalations restart from fresh Jacobians
-            self._jac_carry = (jacs_c, age_c) if converged else None
+            self._jac_carry = (
+                (jacs_c, age_c) if converged and jacs_c is not None
+                else None)
         return U, R, dict(iterations=total, residual=res, r0=r0_first,
                           stalled=bool(sv[3]), fine=fine,
                           rfine=bool(sv[5]) or exact)
