@@ -300,6 +300,23 @@ def delaunay_fsi_mesh(stl_path, edge_length=None, n_bl_fluid=2,
     vector analogue)."""
     rng = np.random.default_rng(seed)
     V, F = read_stl(stl_path)
+    from vasp_tpu.preprocessing.surface_mesh import boundary_loops
+
+    if len(boundary_loops(F)) > 2:
+        # branched anatomy (3+ open ends): the (z, theta) single-backbone
+        # parameterization does not apply — dispatch to the general
+        # offset-surface mesher (the reference handles arbitrary
+        # surfaces through vmtk/TetGen, vmtkmeshgeneratorfsi.py:137-426)
+        from vasp_tpu.preprocessing.general_mesh import \
+            delaunay_fsi_mesh_general
+
+        return delaunay_fsi_mesh_general(
+            (V, F), edge_length=edge_length, n_bl_fluid=n_bl_fluid,
+            sublayer_ratio_fluid=sublayer_ratio_fluid,
+            bl_thickness_factor=bl_thickness_factor,
+            n_r_solid=n_r_solid, sublayer_ratio_solid=sublayer_ratio_solid,
+            solid_thickness=solid_thickness, thickness_frac=thickness_frac,
+            no_solid=no_solid, scale_factor=scale_factor, seed=seed)
     if n_z_param is None:
         n_z_param = 40
     centers, e1, e2, r = surface_tube_parameterization(
@@ -324,19 +341,35 @@ def delaunay_fsi_mesh(stl_path, edge_length=None, n_bl_fluid=2,
             return mask, strong, rmed_v
 
         dome_mask, strong, rmed_v = detect()
-        if dome_mask.sum() >= 20 and strong.any():
+        param0 = (centers, e1, e2, r)
+        if dome_mask.sum() >= 20:
             # re-parameterize the VESSEL with the dome excluded, then
-            # re-detect against the cleaned radii
+            # re-detect against the cleaned radii. The STRONG guard is
+            # applied to the CLEANED second pass only: on the first pass
+            # the dome pollutes its own baseline (the centerline kernel is
+            # pulled toward the dome mass and the dome raises its
+            # station's median radius — measured: a 2.4x-true-ratio dome
+            # reads 1.53x on the raw parameterization and the composite
+            # never engaged), while bend vertices stay at ~1.5-1.7x even
+            # after exclusion, so the false-positive protection holds.
             centers, e1, e2, r = surface_tube_parameterization(
                 V, F, n_z=n_z_param, n_theta=n_theta_param,
                 exclude_mask=dome_mask)
             dome_mask, strong, rmed_v = detect()
+        if dome_mask.sum() >= 20 and strong.any():
             Fd, ring = _dome_patch(V, F, dome_mask)
             patch_vs = np.unique(Fd) if len(Fd) else np.zeros(0, np.int64)
             if (len(Fd) >= 10 and len(ring) >= 3
                     and strong[patch_vs].any()):
                 dome = dict(mask=dome_mask, Fd=Fd, ring=ring,
                             rmed_v=rmed_v)
+        if dome is None:
+            # keep the ORIGINAL parameterization when the composite does
+            # not engage: on bendy vessels (artery.stl) the moderate mask
+            # can fire on bend vertices, and the exclusion-reparameterized
+            # end frames tilt off the physical cap planes (measured: the
+            # 2/3/11 cap markers vanish)
+            centers, e1, e2, r = param0
     nz = len(centers) - 1
     if edge_length is None:
         edge_length = float(np.median(r)) / 3.0
@@ -675,5 +708,11 @@ def delaunay_fsi_mesh(stl_path, edge_length=None, n_bl_fluid=2,
         markers[exterior & (on0f | onLf) & ~fluid_f] = 11
         markers[exterior & ~(on0f | onLf)] = 33
     keep = markers > 0
-    return TetMesh(coords * float(scale_factor), cells, cell_markers,
-                   fv[keep], markers[keep])
+    out = TetMesh(coords * float(scale_factor), cells, cell_markers,
+                  fv[keep], markers[keep])
+    # introspection for tests/pipeline logs: did the dome COMPOSITE path
+    # (union winding core + dome-sheet extrusion) actually engage, vs the
+    # bump riding in as a plain radial graph r(z, theta)?
+    # (TetMesh is a frozen dataclass — set via object.__setattr__)
+    object.__setattr__(out, "_dome_engaged", dome is not None)
+    return out

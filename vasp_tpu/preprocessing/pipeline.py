@@ -164,11 +164,14 @@ def read_command_line(argv=None):
                         "--refine-region, preprocessing.py:223-269)")
     p.add_argument("--refine-factor", type=float, default=4.0)
     p.add_argument("--core", default="structured",
-                   choices=["structured", "delaunay"],
+                   choices=["structured", "delaunay", "delaunay-general"],
                    help="fluid-core mesher for surface input: structured "
-                        "reparameterized tube, or unstructured Delaunay "
+                        "reparameterized tube, unstructured Delaunay "
                         "core + prismatic boundary layer (the reference's "
-                        "TetGen+vmtk decomposition)")
+                        "TetGen+vmtk decomposition), or the general "
+                        "offset-surface mesher for arbitrary anatomy "
+                        "(branched/curved/dome; 'delaunay' auto-dispatches "
+                        "here for surfaces with 3+ open ends)")
     p.add_argument("-sm", "--smoothing-method", default="no_smooth",
                    choices=["no_smooth", "laplace", "taubin", "voronoi"],
                    help="surface smoothing before meshing (reference "
@@ -312,21 +315,29 @@ def run_surface_pre_processing(input_model, mesh_path, n_z=40, n_theta=16,
 
     mesh_path = Path(mesh_path)
     mesh_path.parent.mkdir(parents=True, exist_ok=True)
-    if core == "delaunay":
-        from vasp_tpu.preprocessing.delaunay_mesh import delaunay_fsi_mesh
-
+    if core in ("delaunay", "delaunay-general"):
         if flow_extensions or inlet_extension or outlet_extension:
             raise ValueError(
                 "flow extensions are not supported with --core delaunay "
                 "yet; add them to the surface first (vasp-generate-mesh "
                 "--core structured --add-flowextensions)")
-        mesh = delaunay_fsi_mesh(
-            input_model, edge_length=edge_length, n_bl_fluid=n_r_fluid,
+        kwargs = dict(
+            edge_length=edge_length, n_bl_fluid=n_r_fluid,
             sublayer_ratio_fluid=sublayer_ratio_fluid,
             n_r_solid=n_r_solid, sublayer_ratio_solid=sublayer_ratio_solid,
             solid_thickness=solid_thickness, thickness_frac=thickness_frac,
             no_solid=no_solid, scale_factor=scale_factor,
         )
+        if core == "delaunay-general":
+            from vasp_tpu.preprocessing.general_mesh import \
+                delaunay_fsi_mesh_general
+
+            mesh = delaunay_fsi_mesh_general(input_model, **kwargs)
+        else:
+            from vasp_tpu.preprocessing.delaunay_mesh import \
+                delaunay_fsi_mesh
+
+            mesh = delaunay_fsi_mesh(input_model, **kwargs)
     else:
         mesh = surface_fsi_mesh(
             input_model, n_z=n_z, n_theta=n_theta, n_r_fluid=n_r_fluid,
@@ -630,11 +641,11 @@ def main_meshing(argv=None):
             _, _, L = _surface_extent(args.input_model)
             refine_region = [[*p, 0.1 * L] for p in pts]
         edge_length = args.edge_length
-        if args.core == "delaunay" and edge_length is None:
+        if args.core.startswith("delaunay") and edge_length is None:
             # concrete default so the retry loop can coarsen it
             r_mean, _, _ = _surface_extent(args.input_model)
             edge_length = r_mean / 3.0
-        if args.core == "delaunay" and args.coarsening_factor != 1.0:
+        if args.core.startswith("delaunay") and args.coarsening_factor != 1.0:
             edge_length *= args.coarsening_factor
         # retry-with-coarsening loop (the reference retries meshing with
         # an alternative remesh on failure, preprocessing.py:501-541)
@@ -680,7 +691,7 @@ def main_meshing(argv=None):
                     raise
                 n_z = max(3, int(round(0.8 * n_z)))
                 n_theta = max(8, int(round(0.8 * n_theta)))
-                if args.core == "delaunay":
+                if args.core.startswith("delaunay"):
                     edge_length *= 1.25
                     print(f"Mesh generation failed ({exc}); retry "
                           f"{attempt} at coarser edge length "
