@@ -180,7 +180,10 @@ def build_banded_assembly_plan(block_dofs, pattern: BandedPattern,
     no dump traffic, int32-safe per buffer (3*size overflows int32 at
     bench scale, which ruled out one combined buffer).
 
-    Returns list (per block) of 3 (src, dst) int32 array pairs."""
+    Returns list (per block) of 3 plan dicts: src/dst sorted BY DST on
+    the host (static data), plus the unique-slot decomposition
+    (udst, starts) enabling the cumsum segment-sum assembly — see
+    assemble_banded_planned."""
     c, nb, ndof = pattern.c, pattern.nb, pattern.ndof
     size = nb * c * c
     assert size + 1 < 2 ** 31, "banded storage exceeds int32 indexing"
@@ -205,25 +208,61 @@ def build_banded_assembly_plan(block_dofs, pattern: BandedPattern,
         for tsel in (0, 1, 2):
             src = np.nonzero(vv & (tt == tsel))[0]
             dst = ff[src]
-            per_t.append((jnp.asarray(src.astype(np.int32)),
-                          jnp.asarray(dst.astype(np.int32))))
+            order = np.argsort(dst, kind="stable")
+            src, dst = src[order], dst[order]
+            udst, starts = np.unique(dst, return_index=True)
+            per_t.append(dict(
+                src=jnp.asarray(src.astype(np.int32)),
+                dst=jnp.asarray(dst.astype(np.int32)),
+                udst=jnp.asarray(udst.astype(np.int32)),
+                starts=jnp.asarray(starts.astype(np.int32)),
+            ))
         plans.append(per_t)
     return plans
 
 
 def assemble_banded_planned(jacs, plans, pattern: BandedPattern,
-                            diag_flat):
+                            diag_flat, mode=None):
     """Jitted assembly against a host-precomputed plan
     (build_banded_assembly_plan): per block and target matrix, one static
-    gather + one scatter-add over the in-band entries only."""
+    gather + one accumulation over the in-band entries only.
+
+    mode (or env VASP_ASM_MODE):
+    - "scatter" (default): scatter-add over HOST-PRESORTED (src, dst) —
+      the plan sorts by dst once, so XLA's scatter lowering skips its
+      on-device sort (`indices_are_sorted=True`).
+    - "cumsum": segment sums via an f64 prefix sum over the dst-sorted
+      values, then one scatter-add with UNIQUE sorted indices. Measured
+      SLOWER (1.99 vs 1.01 s at half bench size, values matching to
+      1.5e-5 abs): the emulated-f64 prefix pass costs more than the
+      sorted scatter saves — kept as the A/B reference. (An f32 prefix
+      over 1e8 entries loses ~1e-3 absolute — not acceptable for the
+      preconditioner matrix, hence f64 there.)"""
+    import os
+
+    if mode is None:
+        mode = os.environ.get("VASP_ASM_MODE", "scatter")
     c, nb = pattern.c, pattern.nb
     size = nb * c * c
     bufs = [jnp.zeros(size, jnp.float32) for _ in range(3)]
     for A, per_t in zip(jacs, plans):
         v = A.astype(jnp.float32).reshape(-1)
         for tsel in range(3):
-            src, dst = per_t[tsel]
-            bufs[tsel] = bufs[tsel].at[dst].add(v[src])
+            p = per_t[tsel]
+            sv = v[p["src"]]
+            if mode == "cumsum":
+                cs = jnp.concatenate(
+                    [jnp.zeros(1, jnp.float64),
+                     jnp.cumsum(sv.astype(jnp.float64))])
+                n = np.int32(sv.shape[0])
+                ends = jnp.concatenate(
+                    [p["starts"][1:], jnp.full((1,), n, jnp.int32)])
+                seg = (cs[ends] - cs[p["starts"]]).astype(jnp.float32)
+                bufs[tsel] = bufs[tsel].at[p["udst"]].add(
+                    seg, indices_are_sorted=True, unique_indices=True)
+            else:
+                bufs[tsel] = bufs[tsel].at[p["dst"]].add(
+                    sv, indices_are_sorted=True)
     # identity rows: bc dofs + padding slots (host-precomputed, D matrix)
     bufs[1] = bufs[1].at[diag_flat].add(1.0)
     Cm = bufs[0].reshape(nb, c, c)
@@ -336,7 +375,67 @@ def _probe_rel(Cm, D, Bm, Sinv, H, G):
     return jnp.linalg.norm(y - b) / jnp.linalg.norm(b)
 
 
-def factorize_banded(Cm, D, Bm, factor_dtype=jnp.float32):
+def default_inv_levels():
+    """Blocked-inversion depth for the f32 Schur scans: env override
+    VASP_BANDED_INVLEVELS, else 3 on accelerators and 0 (LU) on CPU —
+    the host LAPACK LU is efficient and the blocked variant's extra
+    matmul flops only cost time there (the multichip dryrun runs on
+    virtual CPU devices; the TPU LU is the measured bottleneck,
+    2.54 -> 1.61 s full-bench scan with levels=3)."""
+    import os
+
+    v = os.environ.get("VASP_BANDED_INVLEVELS")
+    if v is not None:
+        return int(v)
+    return 3 if jax.default_backend() != "cpu" else 0
+
+
+def _inv_blocked(S, levels):
+    """f32 inverse via 2x2 recursive Schur splitting + 1 Newton polish —
+    the MXU-friendly replacement for `jnp.linalg.inv + polish` inside the
+    factorization scans (VERDICT r4 #4: the scan was bound by ~42
+    sequential 4488^2 LU inversions the MXU idles through; measured
+    standalone 43.5 -> 28 ms/block at c=4488, scripts/diag_blockinv.py).
+
+    Unpivoted block elimination, so: max-equilibrate first (the same
+    guard _inv64 uses — raw Schur blocks reach blockcond ~2e9 on
+    unstructured meshes) and Newton-polish after; the production path's
+    probe_rel + reactive escalation ladder covers the rest. |SX-I|_F
+    matched the LU path to 3 digits on a cond~1e6 test block."""
+    rs = 1.0 / jnp.maximum(jnp.max(jnp.abs(S), axis=1), 1e-30)
+    Ss = S * rs[:, None]
+    cs = 1.0 / jnp.maximum(jnp.max(jnp.abs(Ss), axis=0), 1e-30)
+    Ss = Ss * cs[None, :]
+
+    def rec(M, lv):
+        n = M.shape[0]
+        if lv == 0 or n % 2:
+            return jnp.linalg.inv(M)
+        h = n // 2
+        A = M[:h, :h]
+        B = M[:h, h:]
+        C = M[h:, :h]
+        D = M[h:, h:]
+        Ai = rec(A, lv - 1)
+        AiB = jnp.matmul(Ai, B, preferred_element_type=jnp.float32)
+        Sc = D - jnp.matmul(C, AiB, preferred_element_type=jnp.float32)
+        Sci = rec(Sc, lv - 1)
+        CAi = jnp.matmul(C, Ai, preferred_element_type=jnp.float32)
+        tr = -jnp.matmul(AiB, Sci, preferred_element_type=jnp.float32)
+        bl = -jnp.matmul(Sci, CAi, preferred_element_type=jnp.float32)
+        tl = Ai - jnp.matmul(AiB, bl, preferred_element_type=jnp.float32)
+        return jnp.concatenate(
+            [jnp.concatenate([tl, tr], axis=1),
+             jnp.concatenate([bl, Sci], axis=1)], axis=0)
+
+    X = rec(Ss, levels)
+    n = S.shape[0]
+    I2 = 2.0 * jnp.eye(n, dtype=jnp.float32)
+    X = X @ (I2 - Ss @ X)
+    return cs[:, None] * X * rs[None, :]
+
+
+def factorize_banded(Cm, D, Bm, factor_dtype=jnp.float32, inv_levels=0):
     """Block-Thomas factorization, all-MXU.
 
     Two-phase for HBM headroom at 185k dofs (16 GiB chip): the scan
@@ -360,7 +459,10 @@ def factorize_banded(Cm, D, Bm, factor_dtype=jnp.float32):
     (measured, 4k-cell bench tube; bf16 factor rounding is amplified by
     the Schur block conditioning into ~0.4/iteration contraction). bf16
     remains the choice where HBM is the binding constraint (the lowmem
-    variant at 185k dofs)."""
+    variant at 185k dofs).
+
+    inv_levels > 0 selects the blocked Schur inversion (_inv_blocked) —
+    the bad-factor probe below still gates the result either way."""
     nb, c, _ = D.shape
     eye2 = 2.0 * jnp.eye(c, dtype=jnp.float32)
 
@@ -368,8 +470,11 @@ def factorize_banded(Cm, D, Bm, factor_dtype=jnp.float32):
         Ck, Dk, Bk = CDB
         CG = jnp.matmul(Ck, Gprev, preferred_element_type=jnp.float32)
         S = Dk - CG
-        Si = jnp.linalg.inv(S)
-        Si = Si @ (eye2 - S @ Si)
+        if inv_levels > 0:
+            Si = _inv_blocked(S, inv_levels)
+        else:
+            Si = jnp.linalg.inv(S)
+            Si = Si @ (eye2 - S @ Si)
         Gk = jnp.matmul(Si, Bk, preferred_element_type=jnp.float32)
         return Gk, Si.astype(factor_dtype)
 
@@ -382,7 +487,8 @@ def factorize_banded(Cm, D, Bm, factor_dtype=jnp.float32):
     return Sinv, H, G, _probe_rel(Cm, D, Bm, Sinv, H, G)
 
 
-def factorize_banded_lowmem(Cm, D, Bm, factor_dtype=jnp.bfloat16):
+def factorize_banded_lowmem(Cm, D, Bm, factor_dtype=jnp.bfloat16,
+                            inv_levels=0):
     """Schur scan emitting ONLY Sinv (bf16): at ~190k dofs (c=4488, nb=42)
     the H/G factors of factorize_banded push the rebuild peak to ~14 GB and
     the chip OOMs; keeping the raw C/B (already resident) and folding the
@@ -397,7 +503,12 @@ def factorize_banded_lowmem(Cm, D, Bm, factor_dtype=jnp.bfloat16):
     factor_dtype: Sinv storage. bf16 default — at lowmem scale HBM is the
     binding constraint (f32 Sinv adds ~1.7 GB on the ~13.7 GB rebuild
     peak); pass f32 where the chip has headroom for ~8x fewer GMRES
-    iterations (see factorize_banded)."""
+    iterations (see factorize_banded).
+
+    inv_levels > 0: invert each Schur block with the 2x2 recursive
+    blocked elimination (_inv_blocked, `inv_levels` splitting rounds)
+    instead of the LU — MXU matmuls instead of the sequential panel
+    factorization (VERDICT r4 #4)."""
     nb, c, _ = D.shape
     eye2 = 2.0 * jnp.eye(c, dtype=jnp.float32)
 
@@ -405,8 +516,11 @@ def factorize_banded_lowmem(Cm, D, Bm, factor_dtype=jnp.bfloat16):
         Ck, Dk, Bk = CDB
         CG = jnp.matmul(Ck, Gprev, preferred_element_type=jnp.float32)
         S = Dk - CG
-        Si = jnp.linalg.inv(S)
-        Si = Si @ (eye2 - S @ Si)
+        if inv_levels > 0:
+            Si = _inv_blocked(S, inv_levels)
+        else:
+            Si = jnp.linalg.inv(S)
+            Si = Si @ (eye2 - S @ Si)
         Gk = jnp.matmul(Si, Bk, preferred_element_type=jnp.float32)
         return Gk, Si.astype(factor_dtype)
 
@@ -437,7 +551,7 @@ def _inv64(S, n_polish=3):
     return cs[:, None] * X * rs[None, :]
 
 
-def factorize_banded_sinv32(Cm, D, Bm):
+def factorize_banded_sinv32(Cm, D, Bm, inv_levels=0):
     """Schur scan emitting ONLY Sinv in f32 — phase 1 of the HYBRID lowmem
     factorization (f32 Sinv + bf16 H/G, see IterativeStepper).
 
@@ -455,7 +569,8 @@ def factorize_banded_sinv32(Cm, D, Bm):
     Computationally this IS factorize_banded_lowmem with f32 storage
     (one shared scan body — advisor r4); only the hybrid rationale above
     differs."""
-    return factorize_banded_lowmem(Cm, D, Bm, factor_dtype=jnp.float32)
+    return factorize_banded_lowmem(Cm, D, Bm, factor_dtype=jnp.float32,
+                                   inv_levels=inv_levels)
 
 
 def factorize_banded_f64(Cm, D, Bm):

@@ -485,6 +485,13 @@ class IterativeStepper:
             # actually stalls under flagged factors.
             REL_MAX = float(os.environ.get("VASP_BANDED_RELMAX", "1.0"))
             self._rel_max = REL_MAX
+            # blocked Schur inversion inside the factorization scans
+            # (banded_mod._inv_blocked): MXU matmuls replace the LU panel
+            # factorization — measured 2.54 -> 1.61 s for the full-bench
+            # scan (nb=42, c=4488) at identical factor norms
+            # (scripts/diag_scan_ab.py, VERDICT r4 #4). CPU keeps LU;
+            # VASP_BANDED_INVLEVELS overrides (0 restores LU).
+            inv_lv = banded_mod.default_inv_levels()
             if self._banded_lowmem and self._lowmem_mode == "hybrid":
                 # HYBRID lowmem: f32 Sinv (the quality-binding factor —
                 # bf16 Sinv costs ~5 GMRES inner iterations/direction
@@ -494,8 +501,10 @@ class IterativeStepper:
                 # (measured); three sequenced phases with donated f32
                 # C/D/B cap the rebuild peak at ~12 GB. No escalation at
                 # lowmem scale (see the legacy branch's rationale).
-                sinv_phase = jax.jit(banded_mod.factorize_banded_sinv32,
-                                     donate_argnums=(1,))
+                sinv_phase = jax.jit(
+                    partial(banded_mod.factorize_banded_sinv32,
+                            inv_levels=inv_lv),
+                    donate_argnums=(1,))
                 # NOTE: these products keep the global highest-precision
                 # (3-pass) matmul config even though H/G are stored bf16:
                 # the one-pass bf16 variant was MEASURED SLOWER end-to-end
@@ -550,7 +559,7 @@ class IterativeStepper:
                     else jnp.bfloat16
                 factorize_phase = jax.jit(
                     partial(banded_mod.factorize_banded_lowmem,
-                            factor_dtype=fdt),
+                            factor_dtype=fdt, inv_levels=inv_lv),
                     donate_argnums=(1,))
                 cast16 = jax.jit(lambda a: a.astype(jnp.bfloat16),
                                  donate_argnums=(0,))
@@ -579,7 +588,8 @@ class IterativeStepper:
                 fdt = jnp.bfloat16 if self.opt.banded_factor_dtype == "bf16" \
                     else jnp.float32
                 factorize_phase = jax.jit(
-                    partial(banded_mod.factorize_banded, factor_dtype=fdt),
+                    partial(banded_mod.factorize_banded, factor_dtype=fdt,
+                            inv_levels=inv_lv),
                     donate_argnums=(0, 1, 2))
                 factorize_f64 = jax.jit(banded_mod.factorize_banded_f64,
                                         donate_argnums=(0, 1, 2))

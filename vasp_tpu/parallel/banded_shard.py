@@ -393,12 +393,19 @@ def _sharded_factorize(Cl, Dl, Bl, axis, plan,
                 Gk = Si @ Bk.astype(jnp.float64)
                 return Gk, Si.astype(factor_dtype)
         else:
+            from vasp_tpu.fem.banded import _inv_blocked, default_inv_levels
+
+            inv_lv = default_inv_levels()
+
             def step(G, CDB):
                 Ck, Dk, Bk = CDB
                 CG = jnp.matmul(Ck, G, preferred_element_type=jnp.float32)
                 S = Dk - CG
-                Si = jnp.linalg.inv(S)
-                Si = Si @ (eye2 - S @ Si)
+                if inv_lv > 0:  # blocked MXU inversion (fem/banded.py)
+                    Si = _inv_blocked(S, inv_lv)
+                else:
+                    Si = jnp.linalg.inv(S)
+                    Si = Si @ (eye2 - S @ Si)
                 Gk = jnp.matmul(Si, Bk,
                                 preferred_element_type=jnp.float32)
                 return Gk, Si.astype(factor_dtype)
@@ -481,14 +488,20 @@ def _local_thomas(Cl, Dl, Bl, factor_dtype=jnp.float32, f64=False):
 
         G0 = jnp.zeros((c, c), jnp.float64)
     else:
+        from vasp_tpu.fem.banded import _inv_blocked, default_inv_levels
+
         eye2 = 2.0 * jnp.eye(c, dtype=jnp.float32)
+        inv_lv = default_inv_levels()
 
         def step(Gprev, CDB):
             Ck, Dk, Bk = CDB
             S = Dk - jnp.matmul(Ck, Gprev,
                                 preferred_element_type=jnp.float32)
-            Si = jnp.linalg.inv(S)
-            Si = Si @ (eye2 - S @ Si)
+            if inv_lv > 0:  # blocked MXU inversion (fem/banded.py)
+                Si = _inv_blocked(S, inv_lv)
+            else:
+                Si = jnp.linalg.inv(S)
+                Si = Si @ (eye2 - S @ Si)
             Gk = jnp.matmul(Si, Bk, preferred_element_type=jnp.float32)
             return Gk, Si
 
