@@ -246,6 +246,40 @@ def test_endgame_factor_certified(tube_problem):
         np.abs(a - b).max(), np.abs(a).max())
 
 
+def test_lowmem_small_bandwidth_factor_escalation(tube_problem,
+                                                  monkeypatch):
+    """r5: the hybrid lowmem branch's f64-recursion factor tier is
+    MEMORY-GATED, not categorically off — at small bandwidth (est
+    CDB+Sinv < 11 GiB) a stall that survives the exact-residual retry
+    escalates the FACTORIZATION before giving up (measured need: the
+    fixed-length 600k-dof TPU ladder dead-ended at 6e-4 without it;
+    there is no probe on this path, so the residual stall is the
+    trigger)."""
+    monkeypatch.setenv("VASP_FORCE_LOWMEM", "1")
+    sys_, bc_set, load = tube_problem
+    U0 = sys_.zero_state()
+    bcv = jnp.asarray(bc_set.values_at(0.001))
+    # production residual mode: the coarse-stall -> exact-retry ladder
+    # (which hosts the new tier) only exists for f32/mixed/f32f. atol at
+    # the production 1e-6 — 1e-9 sits under the f32f floor and fires the
+    # ladder on step 1's noise stall instead of the injected damage
+    opts = StepOptions(atol=1e-6, rtol=1e-6, max_it=8, gmres_tol=1e-8,
+                       gmres_restart=60, gmres_maxiter=60, overlap=2,
+                       residual_dtype="f32f")
+    stepper = IterativeStepper(sys_, bc_set, opts, recompute_tstep=1000)
+    assert stepper._banded_lowmem and stepper._lowmem_esc_ok
+    U1, _ = stepper.step(U0, bcv, load, tstep=1)
+    assert not stepper._banded_f64
+
+    _damage_pinv(stepper)
+    U2, info2 = stepper.step(U1, bcv, 3.0 * load, tstep=2)
+    assert np.all(np.isfinite(np.asarray(U2)))
+    # the ladder must reach the f64 factor tier (lowmem has no probe and
+    # no generic stall-rebuild before it) and make real progress
+    assert stepper._banded_f64, "expected the small-bandwidth f64 tier"
+    assert float(info2["residual"]) < 1e-5, float(info2["residual"])
+
+
 def test_reactive_factor_escalation(tube_problem):
     """Optimistic-bf16 policy: a probe-flagged factorization escalates to
     the f64 recursion ONLY when Newton actually stalls (probe magnitude

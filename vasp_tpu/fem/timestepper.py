@@ -499,12 +499,31 @@ class IterativeStepper:
                 # dofs) + bf16 H/G (iteration-count neutral, like the
                 # bf16 C/B fold was). All-f32 factors OOM the 16 GB chip
                 # (measured); three sequenced phases with donated f32
-                # C/D/B cap the rebuild peak at ~12 GB. No escalation at
-                # lowmem scale (see the legacy branch's rationale).
+                # C/D/B cap the rebuild peak at ~12 GB.
+                #
+                # Factor escalation at lowmem scale is MEMORY-GATED, not
+                # categorically off (r5): the old blanket skip was sized
+                # for the c=4488 full bench, where f64-recursion temps on
+                # the ~13.7 GB peak are a measured OOM — but lowmem also
+                # triggers on LONG SMALL-BANDWIDTH problems (600k dofs at
+                # c=1120: CDB+Sinv ~10.8 GB), where the f64 tier fits and
+                # is genuinely needed (measured: anisotropic elements
+                # break the f32 recursion there and Newton dead-ends at
+                # 6e-4 with no tier to take). No probe here (keeping
+                # C/D/B alive past the scan for one is a measured OOM
+                # even at c=1120) — the RESIDUAL-stall ladder tries this
+                # tier before giving up instead.
+                est_peak = 4 * bpat.nb * bpat.c * bpat.c * 4
+                esc_ok = est_peak < 11 * 2 ** 30
+                self._lowmem_esc_ok = esc_ok
                 sinv_phase = jax.jit(
                     partial(banded_mod.factorize_banded_sinv32,
                             inv_levels=inv_lv),
                     donate_argnums=(1,))
+                if esc_ok:
+                    sinv_f64_phase = jax.jit(
+                        banded_mod.factorize_banded_f64_lowmem,
+                        donate_argnums=(1,))
                 # NOTE: these products keep the global highest-precision
                 # (3-pass) matmul config even though H/G are stored bf16:
                 # the one-pass bf16 variant was MEASURED SLOWER end-to-end
@@ -536,7 +555,10 @@ class IterativeStepper:
                     # the scan.
                     jax.block_until_ready(Dm)
                     t1 = _t.time()
-                    Sinv = sinv_phase(Cm, Dm, Bm)
+                    if esc_ok and self._banded_f64:
+                        Sinv = sinv_f64_phase(Cm, Dm, Bm)
+                    else:
+                        Sinv = sinv_phase(Cm, Dm, Bm)
                     jax.block_until_ready(Sinv)
                     t2 = _t.time()
                     H = mulcast(Sinv, Cm)  # frees C (donated)
@@ -1240,6 +1262,39 @@ class IterativeStepper:
                 # converges these steps to 1e-8, so the system is
                 # solvable — only the direction quality was the floor).
                 if getattr(self, "_banded_lowmem", False):
+                    if (getattr(self, "_lowmem_esc_ok", False)
+                            and not self._banded_f64):
+                        # small-bandwidth lowmem (r5): the f64-recursion
+                        # factor tier FITS here (est CDB+Sinv < 11 GiB)
+                        # and a stall that survives exact residuals is
+                        # the broken-f32-factor signature (measured:
+                        # anisotropic 600k-dof elements) — try it before
+                        # giving up. No probe exists on this path, so
+                        # the residual stall is the trigger.
+                        print("Newton: stall persists with exact "
+                              f"residuals ({res:.3e}) - escalating to "
+                              "f64 factorization (small-bandwidth "
+                              "lowmem)", flush=True)
+                        self._banded_f64 = True
+                        res_pre2 = res
+                        self._rebuild(U, U0, tstep)
+                        it0 = int(stats["iterations"])
+                        U, R, stats = self._newton_chunked(
+                            U0, U, bc_values, load, True, self.opt.max_it)
+                        stats["iterations"] += it0
+                        res = float(stats["residual"])
+                        r0 = max(r0, float(stats["r0"]))
+                        converged = (res <= self.opt.atol
+                                     or res <= self.opt.rtol
+                                     * max(r0, 1e-300))
+                        if converged:
+                            return U, R, stats
+                        if res > 0.5 * res_pre2:
+                            # the f64 factors did not move the stall —
+                            # the factors were NOT the problem (e.g. a
+                            # direction/noise floor), so don't pay f64
+                            # rebuilds for the rest of the run
+                            self._banded_f64 = False
                     # f64 jacfwd at lowmem-scale problems is a measured
                     # OOM (round-1 full-bench failure mode): return the
                     # best state with the warning instead of the chip
